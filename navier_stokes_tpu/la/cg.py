@@ -1,0 +1,66 @@
+"""Preconditioned conjugate gradients, jit-compatible.
+
+TPU-native replacement for deal.II ``SolverCG`` as used inside the
+reference's block-triangular preconditioner
+(``/root/reference/src/NavierStokesSolver.hpp:598-618``: CG on the velocity
+stiffness block and on the pressure mass, absolute tolerance
+``1e-2 * ||src||``, <= 2000 iterations).  One ``lax.while_loop``; every
+reduction is a single dot (``psum``-able under shard_map).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["CgResult", "cg"]
+
+
+class CgResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array
+    residual: jax.Array
+    converged: jax.Array
+
+
+def cg(
+    matvec: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    atol: jax.Array | float,
+    maxiter: int = 2000,
+    precond: Callable | None = None,
+) -> CgResult:
+    """Solve SPD system to ABSOLUTE residual tolerance ||b - A x|| <= atol."""
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    atol = jnp.asarray(atol, dtype=b.dtype)
+    M = precond or (lambda v: v)
+
+    r0 = b - matvec(x0)
+    z0 = M(r0)
+    rz0 = jnp.vdot(r0, z0)
+
+    def cond(state):
+        _, r, _, _, _, k = state
+        return jnp.logical_and(jnp.linalg.norm(r) > atol, k < maxiter)
+
+    def body(state):
+        x, r, z, p, rz, k = state
+        Ap = matvec(p)
+        pAp = jnp.vdot(p, Ap)
+        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
+        x = x + alpha * p
+        r = r - alpha * Ap
+        z = M(r)
+        rz_new = jnp.vdot(r, z)
+        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
+        p = z + beta * p
+        return x, r, z, p, rz_new, k + 1
+
+    x, r, _, _, _, k = lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0)))
+    res = jnp.linalg.norm(r)
+    return CgResult(x=x, iters=k, residual=res, converged=res <= atol)

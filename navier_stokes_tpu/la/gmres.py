@@ -1,0 +1,146 @@
+"""Restarted (F)GMRES, fully jit-compatible, MXU-friendly orthogonalization.
+
+TPU-native replacement for deal.II ``SolverGMRES`` as used by the reference
+(``/root/reference/src/NavierStokesSolver.cpp:566-585`` tangent solve with
+identity preconditioner, ``cpp:538-554`` Stokes solve with the block
+preconditioner).  Stopping matches ``SolverControl(maxit, tol)``: iterate
+until the TRUE preconditioned-residual estimate drops to an ABSOLUTE
+tolerance (the reference passes ``1e-2 * rhs.l2_norm()``).
+
+Design notes (XLA semantics):
+  * static shapes everywhere: Krylov basis V is a fixed [restart+1, n] buffer;
+    a ``lax.while_loop`` over restart cycles wraps a ``lax.fori_loop`` over
+    the inner iterations, with converged iterations masked to no-ops.
+  * orthogonalization is classical Gram-Schmidt with reorthogonalization
+    (CGS2): the m+1 dot products become ONE [m+1, n] @ [n] matvec — a single
+    MXU-shaped contraction instead of deal.II's sequential MGS dots, and a
+    single ``psum``-able reduction when sharded.
+  * flexible variant (preconditioner may itself be an iterative solve, like
+    the reference's inner CG/GMRES preconditioners, hpp:520-639): Z buffer
+    stores preconditioned directions.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+__all__ = ["GmresResult", "fgmres"]
+
+
+class GmresResult(NamedTuple):
+    x: jax.Array
+    iters: jax.Array  # total matvec count
+    residual: jax.Array  # final (estimated) residual norm
+    converged: jax.Array
+
+
+def _identity(x):
+    return x
+
+
+def fgmres(
+    matvec: Callable,
+    b: jax.Array,
+    x0: jax.Array | None = None,
+    *,
+    atol: jax.Array | float,
+    restart: int = 60,
+    maxiter: int = 1000,
+    precond: Callable | None = None,
+) -> GmresResult:
+    """Right-preconditioned flexible GMRES; stops at ||r||_2 <= atol.
+
+    Everything is traceable: call under jit with `matvec`/`precond` closures.
+    """
+    n = b.shape[0]
+    dtype = b.dtype
+    m = restart
+    M = precond or _identity
+    x0 = jnp.zeros_like(b) if x0 is None else x0
+    atol = jnp.asarray(atol, dtype=dtype)
+    eps_break = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-18, dtype=dtype)
+
+    def cycle(state):
+        x, total_iters, _, _ = state
+        r = b - matvec(x)
+        beta = jnp.linalg.norm(r)
+        done0 = beta <= atol
+
+        V = jnp.zeros((m + 1, n), dtype=dtype)
+        Z = jnp.zeros((m, n), dtype=dtype)
+        V = V.at[0].set(jnp.where(done0, 0.0, r / jnp.where(done0, 1.0, beta)))
+        g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
+        cs = jnp.ones(m, dtype=dtype)
+        sn = jnp.zeros(m, dtype=dtype)
+        R = jnp.eye(m, dtype=dtype)  # unused columns stay identity
+
+        def body(j, carry):
+            V, Z, R, g, cs, sn, res, done, k = carry
+            active = jnp.logical_not(done)
+
+            z = M(V[j])
+            w = matvec(z)
+            # CGS2: rows of V beyond the filled prefix are zero, so no masking
+            h1 = V @ w
+            w = w - h1 @ V
+            h2 = V @ w
+            w = w - h2 @ V
+            h = h1 + h2  # [m+1]
+            hw = jnp.linalg.norm(w)
+            inv_hw = jnp.where(hw > eps_break, 1.0 / jnp.where(hw > eps_break, hw, 1.0), 0.0)
+
+            # apply previous rotations (identity beyond k: cs=1, sn=0)
+            def rot(i, hv):
+                hi, hi1 = hv[i], hv[i + 1]
+                return hv.at[i].set(cs[i] * hi + sn[i] * hi1).at[i + 1].set(
+                    -sn[i] * hi + cs[i] * hi1
+                )
+
+            h = lax.fori_loop(0, j, rot, h.at[j + 1].set(hw))
+
+            # new rotation annihilating h[j+1]
+            denom = jnp.sqrt(h[j] ** 2 + h[j + 1] ** 2)
+            safe = denom > eps_break
+            c_new = jnp.where(safe, h[j] / jnp.where(safe, denom, 1.0), 1.0)
+            s_new = jnp.where(safe, h[j + 1] / jnp.where(safe, denom, 1.0), 0.0)
+            h_col = h.at[j].set(denom).at[j + 1].set(0.0)
+
+            g_new = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
+            res_new = jnp.abs(g_new[j + 1])
+
+            # masked state update (row-level wheres keep this O(n) per iter)
+            V = V.at[j + 1].set(jnp.where(active, w * inv_hw, V[j + 1]))
+            Z = Z.at[j].set(jnp.where(active, z, Z[j]))
+            R = R.at[:, j].set(jnp.where(active, h_col[:m], R[:, j]))
+            g = jnp.where(active, g_new, g)
+            cs = jnp.where(active, cs.at[j].set(c_new), cs)
+            sn = jnp.where(active, sn.at[j].set(s_new), sn)
+            res = jnp.where(active, res_new, res)
+            k = k + active.astype(jnp.int32)
+            done = jnp.logical_or(done, res <= atol)
+            return V, Z, R, g, cs, sn, res, done, k
+
+        carry = (V, Z, R, g, cs, sn, beta, done0, jnp.int32(0))
+        V, Z, R, g, cs, sn, res, done, k = lax.fori_loop(0, m, body, carry)
+
+        # solve R y = g on the active prefix (inactive columns are identity
+        # with masked g = 0 so y vanishes there)
+        g_solve = jnp.where(jnp.arange(m) < k, g[:m], 0.0)
+        y = jax.scipy.linalg.solve_triangular(R, g_solve, lower=False)
+        x_new = x + y @ Z
+        return x_new, total_iters + k, res, done
+
+    def cond(state):
+        _, iters, res, _ = state
+        return jnp.logical_and(res > atol, iters < maxiter)
+
+    r0 = b - matvec(x0)
+    beta0 = jnp.linalg.norm(r0)
+    state = (x0, jnp.int32(0), beta0, beta0 <= atol)
+    x, iters, res, _ = lax.while_loop(cond, cycle, state)
+    return GmresResult(x=x, iters=iters, residual=res, converged=res <= atol)

@@ -1,0 +1,132 @@
+"""Block preconditioners for the [A B^T; B 0] saddle-point system.
+
+TPU-native replacements for the reference's preconditioner classes
+(``/root/reference/src/NavierStokesSolver.hpp:504-639``):
+
+  * identity           <-> PreconditionIdentity (hpp:504-517)
+  * block_diagonal     <-> PreconditionBlockDiagonal (hpp:520-572): inner
+                           GMRES on A00 and on the pressure mass Mp, absolute
+                           tol 1e-2*||src_block||, <=1000 iterations each.
+  * block_triangular   <-> PreconditionBlockTriangular (hpp:575-639): inner CG
+                           on A00, then tmp = src_p - B dst_u, inner CG on Mp
+                           (tol 1e-2*||src_block||, <=2000 its).
+
+The one deliberate substitution: the reference wraps each inner solve in
+Trilinos ILU(0).  Sequential triangular solves have no efficient TPU mapping
+(SURVEY §7 "hard parts" #2), so inner solves are JACOBI-preconditioned — the
+diagonal is assembled from element matrices in one segment_sum.  Inner
+iteration counts are bounded by the same limits as the reference; the outer
+FGMRES is flexible, so a weaker inner preconditioner affects cost only, not
+correctness.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+import jax
+import jax.numpy as jnp
+
+from .cg import cg
+from .gmres import fgmres
+from .operators import ElementOperator, diagonal, matvec
+
+__all__ = [
+    "identity",
+    "jacobi",
+    "block_diagonal",
+    "block_triangular",
+    "rect_matvec",
+]
+
+
+def identity() -> Callable:
+    return lambda v: v
+
+
+def jacobi(diag: jax.Array) -> Callable:
+    """Pointwise inverse-diagonal (safe at zeros)."""
+    inv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
+    return lambda v: inv * v
+
+
+def rect_matvec(
+    cell_block: jax.Array, in_dofs: jax.Array, out_dofs: jax.Array, n_out: int, x: jax.Array
+) -> jax.Array:
+    """Rectangular element-form matvec (e.g. the divergence block B)."""
+    yl = jnp.einsum("cij,cj->ci", cell_block, x[in_dofs])
+    return jax.ops.segment_sum(yl.reshape(-1), out_dofs.reshape(-1), num_segments=n_out)
+
+
+def block_diagonal(
+    A00: ElementOperator,
+    Mp: ElementOperator,
+    *,
+    inner_tol: float = 1e-2,
+    inner_maxiter: int = 1000,
+    inner_restart: int = 50,
+) -> Callable:
+    """diag(A00, Mp)^{-1} via inner GMRES solves (hpp:537-558)."""
+    n_u = A00.n
+    pA = jacobi(diagonal(A00))
+    pM = jacobi(diagonal(Mp))
+
+    def apply(v):
+        vu, vp = v[:n_u], v[n_u:]
+        du = fgmres(
+            lambda y: matvec(A00, y),
+            vu,
+            atol=inner_tol * jnp.linalg.norm(vu),
+            restart=inner_restart,
+            maxiter=inner_maxiter,
+            precond=pA,
+        ).x
+        dp = fgmres(
+            lambda y: matvec(Mp, y),
+            vp,
+            atol=inner_tol * jnp.linalg.norm(vp),
+            restart=inner_restart,
+            maxiter=inner_maxiter,
+            precond=pM,
+        ).x
+        return jnp.concatenate([du, dp])
+
+    return apply
+
+
+def block_triangular(
+    A00: ElementOperator,
+    Mp: ElementOperator,
+    B_block: jax.Array,  # [nc, nb_p_loc, nvl] pressure-row/velocity-col cells
+    B_in_dofs: jax.Array,  # [nc, nvl] velocity-space ids
+    B_out_dofs: jax.Array,  # [nc, nb_p_loc] pressure-space ids
+    *,
+    inner_tol: float = 1e-2,
+    inner_maxiter: int = 2000,
+) -> Callable:
+    """Lower-triangular Schur sweep (hpp:594-619):
+    dst_u = A00^{-1} src_u;  dst_p = Mp^{-1} (src_p - B dst_u)."""
+    n_u, n_p = A00.n, Mp.n
+    pA = jacobi(diagonal(A00))
+    pM = jacobi(diagonal(Mp))
+
+    def apply(v):
+        vu, vp = v[:n_u], v[n_u:]
+        du = cg(
+            lambda y: matvec(A00, y),
+            vu,
+            atol=inner_tol * jnp.linalg.norm(vu),
+            maxiter=inner_maxiter,
+            precond=pA,
+        ).x
+        tmp = vp - rect_matvec(B_block, B_in_dofs, B_out_dofs, n_p, du)
+        dp = cg(
+            lambda y: matvec(Mp, y),
+            tmp,
+            atol=inner_tol * jnp.linalg.norm(vp),
+            maxiter=inner_maxiter,
+            precond=pM,
+        ).x
+        return jnp.concatenate([du, dp])
+
+    return apply

@@ -1,0 +1,234 @@
+"""Host-side unstructured simplex mesh: SoA numpy arrays, static topology.
+
+TPU-native replacement for deal.II ``Triangulation`` /
+``parallel::fullydistributed::Triangulation`` as used by the reference
+(``/root/reference/src/NavierStokesSolver.cpp:6-25``).  deal.II's dynamic
+cell-iterator mesh becomes a frozen struct-of-arrays: every topological
+relation the device kernels need (cell->vertex, cell->edge, boundary facet ->
+(cell, local face)) is precomputed here as an int32 array so device code sees
+only static shapes.
+
+Conventions
+-----------
+* cells: [n_cells, dim+1] vertex indices, positively oriented (det J > 0).
+* edges: unique vertex pairs (lo < hi), cell_edges follows
+  reference_element.EDGES order.
+* boundary facets carry the gmsh physical tag (the reference's boundary_id:
+  e.g. 10=outlet, 11=inlet, 12/13=walls for the cylinder mesh, cf.
+  ``NavierStokesSolver.cpp:320,357,367``).
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from functools import cached_property
+
+import numpy as np
+
+from ..fem.reference_element import EDGES, FACES
+
+__all__ = ["Mesh", "extract_edges", "refine_uniform"]
+
+
+def extract_edges(cells: np.ndarray, dim: int) -> tuple[np.ndarray, np.ndarray]:
+    """Unique mesh edges and the per-cell edge map.
+
+    Returns (edges [n_edges, 2] with lo<hi, cell_edges [n_cells, n_cell_edges]).
+    Vectorized numpy (sort + unique) — this is the host-side analogue of
+    deal.II DoF distribution on lines (``NavierStokesSolver.cpp:64-65``).
+    """
+    pairs = np.array(EDGES[dim], dtype=np.int64)  # [ne_c, 2]
+    cell_pairs = cells[:, pairs]  # [n_cells, ne_c, 2]
+    flat = np.sort(cell_pairs.reshape(-1, 2), axis=1)
+    edges, inv = np.unique(flat, axis=0, return_inverse=True)
+    cell_edges = inv.reshape(cells.shape[0], pairs.shape[0])
+    return edges.astype(np.int32), cell_edges.astype(np.int32)
+
+
+def _orient_cells(coords: np.ndarray, cells: np.ndarray) -> np.ndarray:
+    """Flip cells with negative Jacobian so det J > 0 everywhere."""
+    dim = coords.shape[1]
+    v = coords[cells]  # [nc, dim+1, dim]
+    J = np.swapaxes(v[:, 1:, :] - v[:, :1, :], 1, 2)  # [nc, dim, dim]
+    det = np.linalg.det(J)
+    flipped = cells.copy()
+    neg = det < 0
+    # swapping the last two vertices flips orientation in 2D and 3D
+    flipped[neg, -1], flipped[neg, -2] = cells[neg, -2], cells[neg, -1]
+    return flipped
+
+
+@dataclass
+class Mesh:
+    coords: np.ndarray  # [n_nodes, dim] float64
+    cells: np.ndarray  # [n_cells, dim+1] int32
+    boundary_facets: np.ndarray  # [n_bf, dim] int32 (vertex ids)
+    boundary_tags: np.ndarray  # [n_bf] int32 (gmsh physical tag / boundary_id)
+    name: str = "mesh"
+    # cell-level physical tags (unused by the solver, kept for parity/IO)
+    cell_tags: np.ndarray | None = field(default=None, repr=False)
+
+    def __post_init__(self):
+        self.coords = np.ascontiguousarray(self.coords, dtype=np.float64)
+        self.cells = _orient_cells(self.coords, np.ascontiguousarray(self.cells, dtype=np.int32))
+        self.boundary_facets = np.ascontiguousarray(self.boundary_facets, dtype=np.int32).reshape(
+            -1, self.dim
+        )
+        self.boundary_tags = np.ascontiguousarray(self.boundary_tags, dtype=np.int32)
+
+    @property
+    def dim(self) -> int:
+        return self.coords.shape[1]
+
+    @property
+    def n_nodes(self) -> int:
+        return self.coords.shape[0]
+
+    @property
+    def n_cells(self) -> int:
+        return self.cells.shape[0]
+
+    @cached_property
+    def _edge_data(self) -> tuple[np.ndarray, np.ndarray]:
+        return extract_edges(self.cells, self.dim)
+
+    @property
+    def edges(self) -> np.ndarray:
+        return self._edge_data[0]
+
+    @property
+    def cell_edges(self) -> np.ndarray:
+        return self._edge_data[1]
+
+    @property
+    def n_edges(self) -> int:
+        return self.edges.shape[0]
+
+    @cached_property
+    def facet_cell_map(self) -> tuple[np.ndarray, np.ndarray]:
+        """For each boundary facet: (owning cell, local face index).
+
+        Local faces follow reference_element.FACES order, so face geometry
+        (normals, face quadrature embedding) can be tabulated per local face.
+        Facets that match no cell raise (inconsistent mesh).
+        """
+        faces = np.array(FACES[self.dim], dtype=np.int64)  # [nf_c, dim]
+        cell_faces = self.cells[:, faces]  # [nc, nf_c, dim]
+        nf_c = faces.shape[0]
+        key = np.sort(cell_faces.reshape(-1, self.dim), axis=1)
+        bkey = np.sort(self.boundary_facets.astype(np.int64), axis=1)
+        comb = np.concatenate([key, bkey], axis=0)
+        uniq, inv = np.unique(comb, axis=0, return_inverse=True)
+        first = np.full(len(uniq), -1, dtype=np.int64)
+        # reversed fill so the FIRST (cell, face) occurrence wins
+        inv_key = inv[: len(key)]
+        first[inv_key[::-1]] = np.arange(len(key))[::-1]
+        flat = first[inv[len(key) :]]
+        if np.any(flat < 0):
+            raise ValueError("boundary facet not found in any cell")
+        return (flat // nf_c).astype(np.int32), (flat % nf_c).astype(np.int32)
+
+    def facets_with_tag(self, tag: int) -> np.ndarray:
+        return np.nonzero(self.boundary_tags == tag)[0]
+
+    @property
+    def tags(self) -> np.ndarray:
+        return np.unique(self.boundary_tags)
+
+    def summary(self) -> str:
+        return (
+            f"Mesh({self.name}: dim={self.dim}, nodes={self.n_nodes}, "
+            f"cells={self.n_cells}, edges={self.n_edges}, "
+            f"boundary facets={len(self.boundary_tags)}, tags={list(self.tags)})"
+        )
+
+
+def refine_uniform(mesh: Mesh, times: int = 1) -> Mesh:
+    """Red (regular) uniform refinement: each tri -> 4 tris, each tet -> 8 tets.
+
+    New vertices at edge midpoints; boundary facets split with inherited tags.
+    This is the scaling utility used to reach multi-chip problem sizes
+    (BASELINE.md's ~10M-DoF configs) from the shipped meshes.
+    """
+    m = mesh
+    for _ in range(times):
+        m = _refine_once(m)
+    return m
+
+
+def _refine_once(mesh: Mesh) -> Mesh:
+    dim = mesh.dim
+    edges, cell_edges = mesh.edges, mesh.cell_edges
+    mid = 0.5 * (mesh.coords[edges[:, 0]] + mesh.coords[edges[:, 1]])
+    coords = np.vstack([mesh.coords, mid])
+    e_off = mesh.n_nodes  # new-vertex id of edge e is e_off + e
+
+    c = mesh.cells.astype(np.int64)
+    ce = cell_edges.astype(np.int64) + e_off
+    if dim == 2:
+        # edges order: (0,1),(1,2),(2,0) -> m01, m12, m20
+        v0, v1, v2 = c[:, 0], c[:, 1], c[:, 2]
+        m01, m12, m20 = ce[:, 0], ce[:, 1], ce[:, 2]
+        new_cells = np.concatenate(
+            [
+                np.stack([v0, m01, m20], 1),
+                np.stack([m01, v1, m12], 1),
+                np.stack([m20, m12, v2], 1),
+                np.stack([m01, m12, m20], 1),
+            ],
+            axis=0,
+        )
+    else:
+        # tets, EDGES[3] = (0,1),(0,2),(0,3),(1,2),(1,3),(2,3)
+        v0, v1, v2, v3 = (c[:, i] for i in range(4))
+        m01, m02, m03, m12, m13, m23 = (ce[:, i] for i in range(6))
+        corner = [
+            np.stack([v0, m01, m02, m03], 1),
+            np.stack([v1, m01, m12, m13], 1),
+            np.stack([v2, m02, m12, m23], 1),
+            np.stack([v3, m03, m13, m23], 1),
+        ]
+        # interior octahedron split along diagonal (m01, m23)
+        octa = [
+            np.stack([m01, m02, m03, m23], 1),
+            np.stack([m01, m02, m12, m23], 1),
+            np.stack([m01, m03, m13, m23], 1),
+            np.stack([m01, m12, m13, m23], 1),
+        ]
+        new_cells = np.concatenate(corner + octa, axis=0)
+
+    # boundary facets: 2D edge -> 2 segments; 3D tri -> 4 tris
+    bf = mesh.boundary_facets.astype(np.int64)
+    # midpoint vertex ids for boundary facet edges, via the global edge map
+    def edge_mid(a, b):
+        lo, hi = np.minimum(a, b), np.maximum(a, b)
+        key = lo * (coords.shape[0] + 1) + hi
+        ekey = edges[:, 0].astype(np.int64) * (coords.shape[0] + 1) + edges[:, 1]
+        order = np.argsort(ekey)
+        pos = np.searchsorted(ekey[order], key)
+        return e_off + order[pos]
+
+    if dim == 2:
+        m = edge_mid(bf[:, 0], bf[:, 1])
+        new_bf = np.concatenate([np.stack([bf[:, 0], m], 1), np.stack([m, bf[:, 1]], 1)])
+        new_tags = np.concatenate([mesh.boundary_tags] * 2)
+    else:
+        a, b, cc = bf[:, 0], bf[:, 1], bf[:, 2]
+        mab, mbc, mca = edge_mid(a, b), edge_mid(b, cc), edge_mid(cc, a)
+        new_bf = np.concatenate(
+            [
+                np.stack([a, mab, mca], 1),
+                np.stack([mab, b, mbc], 1),
+                np.stack([mca, mbc, cc], 1),
+                np.stack([mab, mbc, mca], 1),
+            ]
+        )
+        new_tags = np.concatenate([mesh.boundary_tags] * 4)
+
+    return Mesh(
+        coords=coords,
+        cells=new_cells.astype(np.int32),
+        boundary_facets=new_bf.astype(np.int32),
+        boundary_tags=new_tags,
+        name=mesh.name + "+r",
+    )

@@ -1,0 +1,120 @@
+"""Mesh container, generators, refinement, and .msh parsing (golden counts
+against the 13 meshes shipped with the reference repo — BASELINE.md table)."""
+
+import os
+
+import numpy as np
+import pytest
+
+from navier_stokes_tpu.fem.geometry import cell_geometry, facet_geometry
+from navier_stokes_tpu.fem.quadrature import gauss_simplex
+from navier_stokes_tpu.mesh.generate import box, rectangle, unit_square
+from navier_stokes_tpu.mesh.mesh import refine_uniform
+from navier_stokes_tpu.mesh.msh_io import read_msh
+
+GOLDEN = {
+    # name: (nodes, cells, dim)  — from BASELINE.md problem-size table
+    "correct_mesh_yt.msh": (3350, 6448, 2),
+    "mesh_poli.msh": (10846, 21166, 2),
+    "mesh2d.msh": (372, 796, 2),
+    "mesh_poli2.msh": (10957, 21354, 2),
+    "mesh_poli2_t.msh": (10957, 21354, 2),
+    "mesh-square-h0.100000.msh": (121, 200, 2),
+    "mesh-square-h0.050000.msh": (441, 800, 2),
+    "mesh-square-h0.025000.msh": (1681, 3200, 2),
+    "mesh-square-h0.012500.msh": (6561, 12800, 2),
+    "mesh-square-40.msh": (1931, 3700, 2),
+    "mesh-step-3.msh": (911, 3420, 3),
+    "mesh-step-5.msh": (3047, 13408, 3),
+}
+
+
+@pytest.mark.parametrize("name", sorted(GOLDEN))
+def test_msh_golden_counts(ref_mesh_dir, name):
+    m = read_msh(os.path.join(ref_mesh_dir, name))
+    nodes, cells, dim = GOLDEN[name]
+    assert (m.n_nodes, m.n_cells, m.dim) == (nodes, cells, dim)
+    # every cell positively oriented
+    geo = cell_geometry(m, gauss_simplex(m.dim, 1))
+    assert np.all(geo.detJ > 0)
+
+
+def test_surface_mesh_rejected(ref_mesh_dir):
+    """mesh_gg.msh is a cylinder SURFACE mesh (tris in 3D): clean refusal."""
+    with pytest.raises(NotImplementedError):
+        read_msh(os.path.join(ref_mesh_dir, "mesh_gg.msh"))
+
+
+def test_cylinder_mesh_tags(ref_mesh_dir):
+    """The default mesh's boundary ids: 10=outlet, 11=inlet, 12/13=walls."""
+    m = read_msh(os.path.join(ref_mesh_dir, "correct_mesh_yt.msh"))
+    assert set(m.tags) == {10, 11, 12, 13}
+    # domain is [-2,5] x [-2,2] with a radius-0.5 cylinder at the origin
+    assert m.coords[:, 0].min() == pytest.approx(-2)
+    assert m.coords[:, 0].max() == pytest.approx(5)
+    # NOTE the shipped mesh's geography: the Dirichlet "inlet" tag 11 is the
+    # x=+5 side and the Neumann tag 10 is the x=-2 side (verified here); the
+    # solver only cares about the tag numbers (cpp:320,357).
+    dirichlet11 = m.boundary_facets[m.boundary_tags == 11]
+    assert np.allclose(m.coords[dirichlet11.ravel(), 0], 5)
+    neumann10 = m.boundary_facets[m.boundary_tags == 10]
+    assert np.allclose(m.coords[neumann10.ravel(), 0], -2)
+    cyl = m.boundary_facets[m.boundary_tags == 13]
+    r = np.linalg.norm(m.coords[cyl.ravel()], axis=1)
+    assert np.allclose(r, 0.5, atol=1e-6)
+
+
+def test_v41_square_tags(ref_mesh_dir):
+    m = read_msh(os.path.join(ref_mesh_dir, "mesh-square-h0.100000.msh"))
+    assert set(m.tags) == {0, 1, 2, 3}
+    left = m.boundary_facets[m.boundary_tags == 0]
+    assert np.allclose(m.coords[left.ravel(), 0], 0)
+    right = m.boundary_facets[m.boundary_tags == 1]
+    assert np.allclose(m.coords[right.ravel(), 0], 1)
+
+
+@pytest.mark.parametrize("mesh", [unit_square(4), box(2, 2, 2)])
+def test_generated_geometry(mesh):
+    q = gauss_simplex(mesh.dim, 2)
+    geo = cell_geometry(mesh, q)
+    assert np.all(geo.detJ > 0)
+    assert geo.jxw.sum() == pytest.approx(1.0)  # unit measure
+    # facet map is consistent & normals point outward of the unit domain
+    fids = np.arange(len(mesh.boundary_tags))
+    fg = facet_geometry(mesh, fids, 2)
+    # total boundary measure: perimeter 4 (square) or area 6 (cube)
+    assert fg.jxw.sum() == pytest.approx(4.0 if mesh.dim == 2 else 6.0)
+    # outward normal at x=0 boundary must be (-1, 0, ...)
+    tag0 = mesh.boundary_tags == 0
+    n0 = fg.normal[tag0]
+    assert np.allclose(n0[:, 0], -1, atol=1e-12)
+
+
+def test_refine_square():
+    m = unit_square(2)
+    r = refine_uniform(m, 2)
+    assert r.n_cells == m.n_cells * 16
+    q = gauss_simplex(2, 1)
+    assert cell_geometry(r, q).jxw.sum() == pytest.approx(1.0)
+    assert np.all(cell_geometry(r, q).detJ > 0)
+    # boundary preserved
+    fids = np.arange(len(r.boundary_tags))
+    fg = facet_geometry(r, fids, 2)
+    assert fg.jxw.sum() == pytest.approx(4.0)
+
+
+def test_refine_box():
+    m = box(1, 1, 1)
+    r = refine_uniform(m)
+    assert r.n_cells == 8 * m.n_cells
+    q = gauss_simplex(3, 1)
+    assert cell_geometry(r, q).jxw.sum() == pytest.approx(1.0)
+    assert np.all(cell_geometry(r, q).detJ > 0)
+
+
+def test_refine_reference_mesh(ref_mesh_dir):
+    m = read_msh(os.path.join(ref_mesh_dir, "mesh-square-h0.100000.msh"))
+    r = refine_uniform(m)
+    assert r.n_cells == 4 * m.n_cells
+    geo = cell_geometry(r, gauss_simplex(2, 1))
+    assert geo.jxw.sum() == pytest.approx(1.0)
