@@ -1,0 +1,117 @@
+"""Solver configuration: every hardcoded constant of the reference as a field.
+
+The reference hardcodes everything (SURVEY §5 "Config/flag system: No"):
+mesh path (cpp:15), nu/rho/p_out (hpp:703-709), degrees/T/dt (main.cpp:9-13),
+boundary ids (cpp:320,357,367), solver tolerances (cpp:538,566,593).  This
+dataclass is the single source of truth; ``default()`` reproduces the
+reference's as-shipped run exactly, including its quirks (each has a flag).
+
+Loadable from JSON/TOML via ``SolverConfig.from_file``.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+from dataclasses import dataclass, field
+
+__all__ = ["SolverConfig", "NewtonConfig", "KrylovConfig", "InletConfig"]
+
+
+@dataclass
+class NewtonConfig:
+    max_iters: int = 1000  # cpp:593
+    tol: float = 1e-2  # cpp:594 — ABSOLUTE residual tolerance
+    damping: float = 1.0  # full step (cpp:616; damped variants commented out)
+
+
+@dataclass
+class KrylovConfig:
+    rel_tol: float = 1e-2  # cpp:566: 1e-2 * ||rhs||
+    max_iters: int = 2000  # practical cap (reference allows 100000, cpp:566)
+    restart: int = 60
+    preconditioner: str = "identity"  # cpp:570 | "block_diagonal" | "block_triangular"
+    inner_tol: float = 1e-2  # hpp:542,599
+    inner_max_iters: int = 2000  # hpp:598
+
+
+@dataclass
+class InletConfig:
+    u_m: float = 1.5  # hpp:473
+    H: float = 0.41  # hpp:474
+    freeze_time: bool = True  # reference quirk: set_time never called (SURVEY C4)
+
+
+@dataclass
+class SolverConfig:
+    # discretization (main.cpp:9-13)
+    degree_velocity: int = 2
+    degree_pressure: int = 1
+    T: float = 1.0
+    dt: float = 0.05
+
+    # physics (hpp:703-709)
+    nu: float = 0.001
+    rho: float = 1.0
+    p_out: float = 10.0
+
+    # boundary ids (cpp:320,357,367-368; Stokes path uses 0/1/2/3, cpp:472,511,520)
+    inlet_tags: tuple = (11,)
+    wall_tags: tuple = (12, 13)
+    neumann_tags: tuple = (10,)
+
+    inlet: InletConfig = field(default_factory=InletConfig)
+    newton: NewtonConfig = field(default_factory=NewtonConfig)
+    krylov: KrylovConfig = field(default_factory=KrylovConfig)
+
+    # reference-quirk flags (SURVEY §7 hard part 5) — defaults = parity
+    convection_form: str = "reference"  # residual uses u^T grad u (cpp:297-301)
+    include_continuity_residual: bool = False  # cpp:287-310 omits it
+    jacobian_mass_rho: bool = False  # cpp:249-251 omits rho in the mass term
+    # Newton Dirichlet handling: "increment" solves delta = g - u_k at
+    # constrained rows (classic Newton BC; IDENTICAL to the reference when
+    # g = 0, which is always true as shipped since the inlet is frozen at
+    # sin(0)=0).  "reference" reproduces apply_boundary_values on the raw
+    # tangent system (delta = g every iteration, cpp:375-376), which
+    # double-applies a nonzero g across Newton iterations.
+    dirichlet_mode: str = "increment"
+
+    # numerics
+    dtype: str = "auto"  # "auto" | "float32" | "float64"
+    quadrature_degree: int | None = None
+
+    # output
+    output_dir: str = "."
+    write_output: bool = False
+    output_every: int = 1
+
+    @staticmethod
+    def reference_run() -> "SolverConfig":
+        """The exact as-shipped configuration (main.cpp:9-13 + defaults)."""
+        return SolverConfig()
+
+    @staticmethod
+    def from_file(path: str) -> "SolverConfig":
+        if path.endswith(".toml"):
+            import tomllib
+
+            with open(path, "rb") as f:
+                raw = tomllib.load(f)
+        else:
+            with open(path) as f:
+                raw = json.load(f)
+        return SolverConfig.from_dict(raw)
+
+    @staticmethod
+    def from_dict(raw: dict) -> "SolverConfig":
+        kw = dict(raw)
+        for key, cls in (("inlet", InletConfig), ("newton", NewtonConfig), ("krylov", KrylovConfig)):
+            if key in kw and isinstance(kw[key], dict):
+                kw[key] = cls(**kw[key])
+        for key in ("inlet_tags", "wall_tags", "neumann_tags"):
+            if key in kw:
+                kw[key] = tuple(kw[key])
+        return SolverConfig(**kw)
+
+    def to_dict(self) -> dict:
+        return dataclasses.asdict(self)

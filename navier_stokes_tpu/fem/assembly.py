@@ -80,6 +80,10 @@ class FEMContext:
     n_vs: int = field(metadata=dict(static=True))
     n_u: int = field(metadata=dict(static=True))
     n_total: int = field(metadata=dict(static=True))
+    # device-mesh axis cells are sharded over (None = single device).  When
+    # set, assembly reductions psum over it so the kernels run unchanged
+    # inside shard_map (the reference's compress()/MPI allreduce, cpp:345-347).
+    axis_name: str | None = field(default=None, metadata=dict(static=True))
 
     @property
     def nb_v(self) -> int:
@@ -169,6 +173,10 @@ def build_context(
 # ---------------------------------------------------------------------------
 # field evaluation helpers (device)
 # ---------------------------------------------------------------------------
+
+
+def _maybe_psum(x: jax.Array, axis_name: str | None) -> jax.Array:
+    return jax.lax.psum(x, axis_name) if axis_name else x
 
 
 def _gather_velocity(ctx: FEMContext, x: jax.Array) -> jax.Array:
@@ -312,7 +320,7 @@ def assemble_navier_stokes(
     residual = jax.ops.segment_sum(
         cell_res.reshape(-1), ctx.cell_dofs.reshape(-1), num_segments=ctx.n_total
     )
-    residual = residual + _neumann_residual(ctx, p_out)
+    residual = _maybe_psum(residual + _neumann_residual(ctx, p_out), ctx.axis_name)
     return cell_mat, Mp, residual
 
 
@@ -350,5 +358,5 @@ def assemble_stokes(ctx: FEMContext, *, nu: float, rho: float, p_out: float):
     rhs = jax.ops.segment_sum(
         cell_rhs.reshape(-1), ctx.cell_dofs.reshape(-1), num_segments=ctx.n_total
     )
-    rhs = rhs + _neumann_residual(ctx, p_out)
+    rhs = _maybe_psum(rhs + _neumann_residual(ctx, p_out), ctx.axis_name)
     return cell_mat, Mp, rhs

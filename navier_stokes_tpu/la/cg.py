@@ -46,20 +46,30 @@ def cg(
 
     def cond(state):
         _, r, _, _, _, k = state
-        return jnp.logical_and(jnp.linalg.norm(r) > atol, k < maxiter)
+        nrm = jnp.linalg.norm(r)
+        return jnp.logical_and(
+            jnp.logical_and(nrm > atol, jnp.isfinite(nrm)), k < maxiter
+        )
 
     def body(state):
         x, r, z, p, rz, k = state
         Ap = matvec(p)
         pAp = jnp.vdot(p, Ap)
-        alpha = jnp.where(pAp != 0, rz / jnp.where(pAp != 0, pAp, 1.0), 0.0)
-        x = x + alpha * p
-        r = r - alpha * Ap
+        # breakdown detection: in exact SPD arithmetic pAp > 0; at extreme
+        # stagnation (unreachable atol) p can overflow -> pAp Inf/NaN/<=0.
+        # Freeze the state and exit instead of polluting x with 0 * Inf.
+        ok = jnp.logical_and(jnp.isfinite(pAp), pAp > 0)
+        alpha = jnp.where(ok, rz / jnp.where(ok, pAp, 1.0), 0.0)
+        x = jnp.where(ok, x + alpha * p, x)
+        r = jnp.where(ok, r - alpha * Ap, r)
         z = M(r)
         rz_new = jnp.vdot(r, z)
-        beta = jnp.where(rz != 0, rz_new / jnp.where(rz != 0, rz, 1.0), 0.0)
-        p = z + beta * p
-        return x, r, z, p, rz_new, k + 1
+        beta = jnp.where(
+            jnp.logical_and(ok, rz != 0), rz_new / jnp.where(rz != 0, rz, 1.0), 0.0
+        )
+        p = jnp.where(ok, z + beta * p, p)
+        k = jnp.where(ok, k + 1, jnp.int32(maxiter))  # breakdown -> exit loop
+        return x, r, z, p, rz_new, k
 
     x, r, _, _, _, k = lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0)))
     res = jnp.linalg.norm(r)

@@ -113,16 +113,26 @@ def fgmres(
             g_new = g.at[j + 1].set(-s_new * g[j]).at[j].set(c_new * g[j])
             res_new = jnp.abs(g_new[j + 1])
 
+            # breakdown guard: if this iteration produced non-finite values
+            # (preconditioner blowup, overflow), discard it and stop the cycle
+            # — the least-squares solve then uses only the finite prefix.
+            finite = jnp.logical_and(
+                jnp.isfinite(hw), jnp.all(jnp.isfinite(h_col))
+            )
+            apply_it = jnp.logical_and(active, finite)
+
             # masked state update (row-level wheres keep this O(n) per iter)
-            V = V.at[j + 1].set(jnp.where(active, w * inv_hw, V[j + 1]))
-            Z = Z.at[j].set(jnp.where(active, z, Z[j]))
-            R = R.at[:, j].set(jnp.where(active, h_col[:m], R[:, j]))
-            g = jnp.where(active, g_new, g)
-            cs = jnp.where(active, cs.at[j].set(c_new), cs)
-            sn = jnp.where(active, sn.at[j].set(s_new), sn)
-            res = jnp.where(active, res_new, res)
-            k = k + active.astype(jnp.int32)
-            done = jnp.logical_or(done, res <= atol)
+            V = V.at[j + 1].set(jnp.where(apply_it, w * inv_hw, V[j + 1]))
+            Z = Z.at[j].set(jnp.where(apply_it, z, Z[j]))
+            R = R.at[:, j].set(jnp.where(apply_it, h_col[:m], R[:, j]))
+            g = jnp.where(apply_it, g_new, g)
+            cs = jnp.where(apply_it, cs.at[j].set(c_new), cs)
+            sn = jnp.where(apply_it, sn.at[j].set(s_new), sn)
+            res = jnp.where(apply_it, res_new, res)
+            k = k + apply_it.astype(jnp.int32)
+            done = jnp.logical_or(
+                done, jnp.logical_or(res <= atol, jnp.logical_and(active, ~finite))
+            )
             return V, Z, R, g, cs, sn, res, done, k
 
         carry = (V, Z, R, g, cs, sn, beta, done0, jnp.int32(0))
@@ -133,11 +143,13 @@ def fgmres(
         g_solve = jnp.where(jnp.arange(m) < k, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(R, g_solve, lower=False)
         x_new = x + y @ Z
-        return x_new, total_iters + k, res, done
+        stalled = k == 0  # breakdown before any progress: stop outer loop
+        return x_new, total_iters + k, res, stalled
 
     def cond(state):
-        _, iters, res, _ = state
-        return jnp.logical_and(res > atol, iters < maxiter)
+        _, iters, res, stalled = state
+        ok = jnp.logical_and(res > atol, jnp.isfinite(res))
+        return jnp.logical_and(jnp.logical_and(ok, iters < maxiter), ~stalled)
 
     r0 = b - matvec(x0)
     beta0 = jnp.linalg.norm(r0)

@@ -39,13 +39,31 @@ class ElementOperator:
     bc_rows: jax.Array  # [nbc] int32 (may be empty)
     bc_diag: jax.Array  # [nbc] replacement diagonal for constrained rows
     n: int = field(metadata=dict(static=True))
+    # device-mesh axis cells are sharded over (None = single device); when set
+    # every scatter-reduction psums over it (the reference's SpMV ghost
+    # exchange / compress, SURVEY §3.3)
+    axis_name: str | None = field(default=None, metadata=dict(static=True))
+    # symmetric Dirichlet elimination: also zero constrained COLUMNS, keeping
+    # the operator SPD so inner CG solves are well-posed.  The outer tangent
+    # operator uses False (eliminate_columns=false parity, cpp:376);
+    # preconditioner blocks use True (an ILU of a nonsymmetric-row matrix
+    # is equally inexact — FGMRES absorbs the difference).
+    bc_symmetric: bool = field(default=False, metadata=dict(static=True))
+
+
+def _maybe_psum(x: jax.Array, axis_name: str | None) -> jax.Array:
+    return jax.lax.psum(x, axis_name) if axis_name else x
 
 
 def matvec(op: ElementOperator, x: jax.Array) -> jax.Array:
     """y = A x with constrained rows y_i = diag_i * x_i."""
-    xl = x[op.cell_dofs]  # [nc, nl]
+    x_in = x
+    if op.bc_symmetric and op.bc_rows.shape[0]:
+        x_in = x.at[op.bc_rows].set(0.0)
+    xl = x_in[op.cell_dofs]  # [nc, nl]
     yl = jnp.einsum("cij,cj->ci", op.cell_mat, xl)
     y = jax.ops.segment_sum(yl.reshape(-1), op.cell_dofs.reshape(-1), num_segments=op.n)
+    y = _maybe_psum(y, op.axis_name)
     if op.bc_rows.shape[0]:
         y = y.at[op.bc_rows].set(op.bc_diag * x[op.bc_rows])
     return y
@@ -53,20 +71,21 @@ def matvec(op: ElementOperator, x: jax.Array) -> jax.Array:
 
 def diagonal(op: ElementOperator) -> jax.Array:
     """Assembled main diagonal (for Jacobi/Chebyshev preconditioning)."""
-    nl = op.cell_mat.shape[1]
-    dl = op.cell_mat[:, jnp.arange(nl), jnp.arange(nl)]  # [nc, nl]
-    d = jax.ops.segment_sum(dl.reshape(-1), op.cell_dofs.reshape(-1), num_segments=op.n)
+    d = raw_diagonal(op.cell_mat, op.cell_dofs, op.n, op.axis_name)
     if op.bc_rows.shape[0]:
         d = d.at[op.bc_rows].set(op.bc_diag)
     return d
 
 
-def raw_diagonal(cell_mat: jax.Array, cell_dofs: jax.Array, n: int) -> jax.Array:
+def raw_diagonal(
+    cell_mat: jax.Array, cell_dofs: jax.Array, n: int, axis_name: str | None = None
+) -> jax.Array:
     """Assembled diagonal BEFORE boundary conditions — this is the diagonal
     value deal.II's apply_boundary_values keeps on constrained rows."""
     nl = cell_mat.shape[1]
     dl = cell_mat[:, jnp.arange(nl), jnp.arange(nl)]
-    return jax.ops.segment_sum(dl.reshape(-1), cell_dofs.reshape(-1), num_segments=n)
+    d = jax.ops.segment_sum(dl.reshape(-1), cell_dofs.reshape(-1), num_segments=n)
+    return _maybe_psum(d, axis_name)
 
 
 def velocity_block(
@@ -92,11 +111,13 @@ def velocity_block(
         bc_rows=op.bc_rows[bc_mask],
         bc_diag=op.bc_diag[bc_mask],
         n=n_u,
+        axis_name=op.axis_name,
+        bc_symmetric=True,
     )
 
 
 def pressure_mass_block(
-    cell_pmass: jax.Array, cell_pdofs: jax.Array, n_p: int
+    cell_pmass: jax.Array, cell_pdofs: jax.Array, n_p: int, axis_name: str | None = None
 ) -> ElementOperator:
     """Mp operator on the pressure segment (reference's pressure_mass.block(1,1),
     cpp:163, hpp:527)."""
@@ -106,4 +127,5 @@ def pressure_mass_block(
         bc_rows=jnp.zeros((0,), dtype=jnp.int32),
         bc_diag=jnp.zeros((0,), dtype=cell_pmass.dtype),
         n=n_p,
+        axis_name=axis_name,
     )

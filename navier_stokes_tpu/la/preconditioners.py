@@ -51,11 +51,17 @@ def jacobi(diag: jax.Array) -> Callable:
 
 
 def rect_matvec(
-    cell_block: jax.Array, in_dofs: jax.Array, out_dofs: jax.Array, n_out: int, x: jax.Array
+    cell_block: jax.Array,
+    in_dofs: jax.Array,
+    out_dofs: jax.Array,
+    n_out: int,
+    x: jax.Array,
+    axis_name: str | None = None,
 ) -> jax.Array:
     """Rectangular element-form matvec (e.g. the divergence block B)."""
     yl = jnp.einsum("cij,cj->ci", cell_block, x[in_dofs])
-    return jax.ops.segment_sum(yl.reshape(-1), out_dofs.reshape(-1), num_segments=n_out)
+    y = jax.ops.segment_sum(yl.reshape(-1), out_dofs.reshape(-1), num_segments=n_out)
+    return jax.lax.psum(y, axis_name) if axis_name else y
 
 
 def block_diagonal(
@@ -119,11 +125,16 @@ def block_triangular(
             maxiter=inner_maxiter,
             precond=pA,
         ).x
-        tmp = vp - rect_matvec(B_block, B_in_dofs, B_out_dofs, n_p, du)
+        tmp = vp - rect_matvec(B_block, B_in_dofs, B_out_dofs, n_p, du, axis_name=A00.axis_name)
+        # tolerance floored relative to the ACTUAL rhs of this solve: the
+        # reference's bare 1e-2*||src_p|| is unreachable when src_p = 0 (as on
+        # the first Krylov vector, whose pressure block vanishes) — deal.II's
+        # SolverCG would throw NoConvergence there.
+        atol_p = jnp.maximum(inner_tol * jnp.linalg.norm(vp), 1e-10 * jnp.linalg.norm(tmp))
         dp = cg(
             lambda y: matvec(Mp, y),
             tmp,
-            atol=inner_tol * jnp.linalg.norm(vp),
+            atol=atol_p,
             maxiter=inner_maxiter,
             precond=pM,
         ).x

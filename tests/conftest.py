@@ -15,6 +15,9 @@ if "host_platform_device_count" not in flags:
 
 import jax  # noqa: E402
 
+# the axon TPU plugin overrides JAX_PLATFORMS; force the CPU backend so the
+# virtual 8-device mesh is available and runs are deterministic
+jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
 import numpy as np  # noqa: E402
