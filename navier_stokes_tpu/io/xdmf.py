@@ -47,12 +47,13 @@ class XdmfWriter:
         mesh = dofs.mesh
         dim = mesh.dim
         sol = np.asarray(solution, dtype=np.float64)
-        # vertex velocity: scalar dofs [0, n_nodes) of each component
+        # vertex velocity/pressure via the dof maps (renumbering-safe)
+        vv = dofs.vertex_vdofs
+        vp = dofs.vertex_pdofs
         vel = np.zeros((mesh.n_nodes, 3))
         for c in range(dim):
-            vel[:, c] = sol[c * dofs.n_vs : c * dofs.n_vs + mesh.n_nodes]
-        # P1 pressure dofs ARE the vertices
-        pres = sol[dofs.n_u : dofs.n_u + mesh.n_nodes]
+            vel[:, c] = sol[c * dofs.n_vs + vv]
+        pres = sol[dofs.n_u + vp]
 
         name = f"{self.prefix}-{step:04d}"
         h5name = name + ".h5"

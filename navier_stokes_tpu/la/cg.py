@@ -16,6 +16,8 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+_PREC = jax.lax.Precision.HIGHEST
+
 __all__ = ["CgResult", "cg"]
 
 
@@ -42,7 +44,7 @@ def cg(
 
     r0 = b - matvec(x0)
     z0 = M(r0)
-    rz0 = jnp.vdot(r0, z0)
+    rz0 = jnp.vdot(r0, z0, precision=_PREC)
 
     def cond(state):
         _, r, _, _, _, k = state
@@ -54,7 +56,7 @@ def cg(
     def body(state):
         x, r, z, p, rz, k = state
         Ap = matvec(p)
-        pAp = jnp.vdot(p, Ap)
+        pAp = jnp.vdot(p, Ap, precision=_PREC)
         # breakdown detection: in exact SPD arithmetic pAp > 0; at extreme
         # stagnation (unreachable atol) p can overflow -> pAp Inf/NaN/<=0.
         # Freeze the state and exit instead of polluting x with 0 * Inf.
@@ -63,7 +65,7 @@ def cg(
         x = jnp.where(ok, x + alpha * p, x)
         r = jnp.where(ok, r - alpha * Ap, r)
         z = M(r)
-        rz_new = jnp.vdot(r, z)
+        rz_new = jnp.vdot(r, z, precision=_PREC)
         beta = jnp.where(
             jnp.logical_and(ok, rz != 0), rz_new / jnp.where(rz != 0, rz, 1.0), 0.0
         )

@@ -29,6 +29,9 @@ import jax
 import jax.numpy as jnp
 from jax import lax
 
+_PREC = jax.lax.Precision.HIGHEST  # full f32 orthogonalization (TPU default
+# matmul precision is a single bf16 pass, which destroys CGS2)
+
 __all__ = ["GmresResult", "fgmres"]
 
 
@@ -66,7 +69,7 @@ def fgmres(
     eps_break = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-18, dtype=dtype)
 
     def cycle(state):
-        x, total_iters, _, _ = state
+        x, total_iters, prev_res, _ = state
         r = b - matvec(x)
         beta = jnp.linalg.norm(r)
         done0 = beta <= atol
@@ -86,10 +89,10 @@ def fgmres(
             z = M(V[j])
             w = matvec(z)
             # CGS2: rows of V beyond the filled prefix are zero, so no masking
-            h1 = V @ w
-            w = w - h1 @ V
-            h2 = V @ w
-            w = w - h2 @ V
+            h1 = jnp.matmul(V, w, precision=_PREC)
+            w = w - jnp.matmul(h1, V, precision=_PREC)
+            h2 = jnp.matmul(V, w, precision=_PREC)
+            w = w - jnp.matmul(h2, V, precision=_PREC)
             h = h1 + h2  # [m+1]
             hw = jnp.linalg.norm(w)
             inv_hw = jnp.where(hw > eps_break, 1.0 / jnp.where(hw > eps_break, hw, 1.0), 0.0)
@@ -142,9 +145,19 @@ def fgmres(
         # with masked g = 0 so y vanishes there)
         g_solve = jnp.where(jnp.arange(m) < k, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(R, g_solve, lower=False)
-        x_new = x + y @ Z
-        stalled = k == 0  # breakdown before any progress: stop outer loop
-        return x_new, total_iters + k, res, stalled
+        x_new = x + jnp.matmul(y, Z, precision=_PREC)
+        # TRUE residual at cycle end: in reduced precision the Arnoldi/Givens
+        # estimate drifts below the true residual (orthogonality loss) and
+        # would report false convergence; restarting on the true residual
+        # turns the outer loop into iterative refinement.  Costs one matvec
+        # per cycle (amortized over <= restart iterations).
+        res_true = jnp.linalg.norm(b - matvec(x_new))
+        # keep the better iterate; stop on breakdown or no true headway
+        better = res_true < prev_res
+        x_out = jnp.where(better, x_new, x)
+        res_out = jnp.minimum(res_true, prev_res)
+        stalled = jnp.logical_or(k == 0, ~better)
+        return x_out, total_iters + k, res_out, stalled
 
     def cond(state):
         _, iters, res, stalled = state

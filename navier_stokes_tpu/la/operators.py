@@ -26,6 +26,8 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 
+_PREC = jax.lax.Precision.HIGHEST  # full f32: TPU default is 1-pass bf16
+
 __all__ = ["ElementOperator", "matvec", "diagonal", "velocity_block", "pressure_mass_block"]
 
 
@@ -38,6 +40,9 @@ class ElementOperator:
     cell_dofs: jax.Array  # [nc, nl] int32 global ids
     bc_rows: jax.Array  # [nbc] int32 (may be empty)
     bc_diag: jax.Array  # [nbc] replacement diagonal for constrained rows
+    # transpose gather map [n, K] (ops/scatter.py) — scatter-free reduction;
+    # None falls back to segment_sum
+    scatter_idx: jax.Array | None
     n: int = field(metadata=dict(static=True))
     # device-mesh axis cells are sharded over (None = single device); when set
     # every scatter-reduction psums over it (the reference's SpMV ghost
@@ -55,14 +60,22 @@ def _maybe_psum(x: jax.Array, axis_name: str | None) -> jax.Array:
     return jax.lax.psum(x, axis_name) if axis_name else x
 
 
+def _reduce(values_flat, cell_dofs, scatter_idx, n):
+    if scatter_idx is not None:
+        from ..ops.scatter import gather_scatter
+
+        return gather_scatter(values_flat, scatter_idx, xp=jnp)
+    return jax.ops.segment_sum(values_flat, cell_dofs.reshape(-1), num_segments=n)
+
+
 def matvec(op: ElementOperator, x: jax.Array) -> jax.Array:
     """y = A x with constrained rows y_i = diag_i * x_i."""
     x_in = x
     if op.bc_symmetric and op.bc_rows.shape[0]:
         x_in = x.at[op.bc_rows].set(0.0)
     xl = x_in[op.cell_dofs]  # [nc, nl]
-    yl = jnp.einsum("cij,cj->ci", op.cell_mat, xl)
-    y = jax.ops.segment_sum(yl.reshape(-1), op.cell_dofs.reshape(-1), num_segments=op.n)
+    yl = jnp.einsum("cij,cj->ci", op.cell_mat, xl, precision=_PREC)
+    y = _reduce(yl.reshape(-1), op.cell_dofs, op.scatter_idx, op.n)
     y = _maybe_psum(y, op.axis_name)
     if op.bc_rows.shape[0]:
         y = y.at[op.bc_rows].set(op.bc_diag * x[op.bc_rows])
@@ -71,25 +84,29 @@ def matvec(op: ElementOperator, x: jax.Array) -> jax.Array:
 
 def diagonal(op: ElementOperator) -> jax.Array:
     """Assembled main diagonal (for Jacobi/Chebyshev preconditioning)."""
-    d = raw_diagonal(op.cell_mat, op.cell_dofs, op.n, op.axis_name)
+    d = raw_diagonal(op.cell_mat, op.cell_dofs, op.n, op.axis_name, op.scatter_idx)
     if op.bc_rows.shape[0]:
         d = d.at[op.bc_rows].set(op.bc_diag)
     return d
 
 
 def raw_diagonal(
-    cell_mat: jax.Array, cell_dofs: jax.Array, n: int, axis_name: str | None = None
+    cell_mat: jax.Array,
+    cell_dofs: jax.Array,
+    n: int,
+    axis_name: str | None = None,
+    scatter_idx: jax.Array | None = None,
 ) -> jax.Array:
     """Assembled diagonal BEFORE boundary conditions — this is the diagonal
     value deal.II's apply_boundary_values keeps on constrained rows."""
     nl = cell_mat.shape[1]
     dl = cell_mat[:, jnp.arange(nl), jnp.arange(nl)]
-    d = jax.ops.segment_sum(dl.reshape(-1), cell_dofs.reshape(-1), num_segments=n)
+    d = _reduce(dl.reshape(-1), cell_dofs, scatter_idx, n)
     return _maybe_psum(d, axis_name)
 
 
 def velocity_block(
-    op: ElementOperator, dim: int, nb_v: int, n_u: int, bc_mask=None
+    op: ElementOperator, dim: int, nb_v: int, n_u: int, bc_mask=None, scatter_idx=None
 ) -> ElementOperator:
     """A00 (velocity-velocity) sub-operator on the velocity segment [0, n_u).
 
@@ -110,6 +127,7 @@ def velocity_block(
         cell_dofs=op.cell_dofs[:, :nvl],
         bc_rows=op.bc_rows[bc_mask],
         bc_diag=op.bc_diag[bc_mask],
+        scatter_idx=scatter_idx,
         n=n_u,
         axis_name=op.axis_name,
         bc_symmetric=True,
@@ -117,7 +135,11 @@ def velocity_block(
 
 
 def pressure_mass_block(
-    cell_pmass: jax.Array, cell_pdofs: jax.Array, n_p: int, axis_name: str | None = None
+    cell_pmass: jax.Array,
+    cell_pdofs: jax.Array,
+    n_p: int,
+    axis_name: str | None = None,
+    scatter_idx: jax.Array | None = None,
 ) -> ElementOperator:
     """Mp operator on the pressure segment (reference's pressure_mass.block(1,1),
     cpp:163, hpp:527)."""
@@ -126,6 +148,7 @@ def pressure_mass_block(
         cell_dofs=cell_pdofs,
         bc_rows=jnp.zeros((0,), dtype=jnp.int32),
         bc_diag=jnp.zeros((0,), dtype=cell_pmass.dtype),
+        scatter_idx=scatter_idx,
         n=n_p,
         axis_name=axis_name,
     )

@@ -57,10 +57,13 @@ def rect_matvec(
     n_out: int,
     x: jax.Array,
     axis_name: str | None = None,
+    scatter_idx: jax.Array | None = None,
 ) -> jax.Array:
     """Rectangular element-form matvec (e.g. the divergence block B)."""
-    yl = jnp.einsum("cij,cj->ci", cell_block, x[in_dofs])
-    y = jax.ops.segment_sum(yl.reshape(-1), out_dofs.reshape(-1), num_segments=n_out)
+    from .operators import _reduce
+
+    yl = jnp.einsum("cij,cj->ci", cell_block, x[in_dofs], precision=jax.lax.Precision.HIGHEST)
+    y = _reduce(yl.reshape(-1), out_dofs, scatter_idx, n_out)
     return jax.lax.psum(y, axis_name) if axis_name else y
 
 
@@ -109,6 +112,7 @@ def block_triangular(
     *,
     inner_tol: float = 1e-2,
     inner_maxiter: int = 2000,
+    B_scatter_idx: jax.Array | None = None,
 ) -> Callable:
     """Lower-triangular Schur sweep (hpp:594-619):
     dst_u = A00^{-1} src_u;  dst_p = Mp^{-1} (src_p - B dst_u)."""
@@ -125,7 +129,10 @@ def block_triangular(
             maxiter=inner_maxiter,
             precond=pA,
         ).x
-        tmp = vp - rect_matvec(B_block, B_in_dofs, B_out_dofs, n_p, du, axis_name=A00.axis_name)
+        tmp = vp - rect_matvec(
+            B_block, B_in_dofs, B_out_dofs, n_p, du,
+            axis_name=A00.axis_name, scatter_idx=B_scatter_idx,
+        )
         # tolerance floored relative to the ACTUAL rhs of this solve: the
         # reference's bare 1e-2*||src_p|| is unreachable when src_p = 0 (as on
         # the first Krylov vector, whose pressure block vanishes) — deal.II's

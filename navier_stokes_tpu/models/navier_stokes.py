@@ -74,6 +74,29 @@ class NavierStokesSolver:
 
         log.print("Initializing the finite element space")
         self.dofs = make_dofs(self.mesh, cfg.degree_velocity, cfg.degree_pressure)
+        self._win_layout = None
+        if cfg.krylov.matvec == "windowed" and self.n_devices not in (None, 1):
+            log.print("  (windowed matvec not yet sharded: using flat path)")
+            cfg.krylov.matvec = "flat"
+        if cfg.krylov.matvec == "windowed":
+            from ..fem.dofs import renumber_blocked
+            from ..ops.windowed import build_windowed_layout
+
+            self.dofs, block_info = renumber_blocked(
+                self.dofs, cells_per_block=cfg.krylov.cells_per_block
+            )
+            self._win_layout = build_windowed_layout(
+                self.dofs.cell_vdofs,
+                self.dofs.cell_pdofs,
+                self.dofs.n_vs,
+                self.dofs.n_ps,
+                self.mesh.dim,
+                block_info=block_info,
+            )
+            log.print(
+                f"  Windowed operator: {self._win_layout.nb} blocks, "
+                f"dup {self._win_layout.dup_factor:.2f}"
+            )
         elem = self.dofs.element
         log.print(f"  Velocity degree:           = {cfg.degree_velocity}")
         log.print(f"  Pressure degree:           = {cfg.degree_pressure}")
@@ -136,12 +159,20 @@ class NavierStokesSolver:
         dim, nb_v, nb_p = ctx.dim, ctx.nb_v, ctx.nb_p
         nvl = dim * nb_v
         A00 = ops.velocity_block(
-            op, dim, nb_v, self.dofs.n_u, bc_mask=np.asarray(self.dirichlet.rows) < self.dofs.n_u
+            op,
+            dim,
+            nb_v,
+            self.dofs.n_u,
+            bc_mask=np.asarray(self.dirichlet.rows) < self.dofs.n_u,
+            scatter_idx=ctx.scatter_vel,
         )
         # pressure-space cell dofs, robust to sharding padding (padded cells
         # carry cell_dofs == 0 -> clamp to pressure dof 0; zero-valued adds)
         cell_pdofs = jnp.maximum(ctx.cell_dofs[:, -nb_p:] - self.dofs.n_u, 0)
-        Mp = ops.pressure_mass_block(cell_pmass, cell_pdofs, self.dofs.n_p, axis_name=ctx.axis_name)
+        Mp = ops.pressure_mass_block(
+            cell_pmass, cell_pdofs, self.dofs.n_p,
+            axis_name=ctx.axis_name, scatter_idx=ctx.scatter_p,
+        )
         if kind == "block_diagonal":
             return block_diagonal(
                 A00,
@@ -158,6 +189,7 @@ class NavierStokesSolver:
                 cell_pdofs,
                 inner_tol=cfg.krylov.inner_tol,
                 inner_maxiter=cfg.krylov.inner_max_iters,
+                B_scatter_idx=ctx.scatter_p,
             )
         raise ValueError(f"unknown preconditioner {kind!r}")
 
@@ -180,7 +212,9 @@ class NavierStokesSolver:
                 include_continuity_residual=cfg.include_continuity_residual,
                 jacobian_mass_rho=cfg.jacobian_mass_rho,
             )
-            diag0 = ops.raw_diagonal(cell_mat, cell_dofs, n)
+            diag0 = ops.raw_diagonal(
+                cell_mat, cell_dofs, n, ctx.axis_name, ctx.scatter_full
+            )
             bc_diag = diag0[bc_rows]
             if cfg.dirichlet_mode == "increment":
                 bc_target = bc_vals - u[bc_rows]
@@ -193,14 +227,32 @@ class NavierStokesSolver:
                 cell_dofs=cell_dofs,
                 bc_rows=bc_rows,
                 bc_diag=bc_diag,
+                scatter_idx=ctx.scatter_full,
                 n=n,
                 axis_name=ctx.axis_name,
             )
             precond = self._make_preconditioner(ctx, op, cell_pmass)
 
+            if self._win_layout is not None:
+                from ..ops.windowed import windowed_matvec
+
+                lay = self._win_layout
+                A_blk = cell_mat[lay.cell_ids]
+
+                def apply_op(v):
+                    y = windowed_matvec(lay, A_blk, v)
+                    if bc_rows.shape[0]:
+                        y = y.at[bc_rows].set(bc_diag * v[bc_rows])
+                    return y
+
+            else:
+
+                def apply_op(v):
+                    return ops.matvec(op, v)
+
             def do_solve(_):
                 sol = fgmres(
-                    lambda v: ops.matvec(op, v),
+                    apply_op,
                     residual,
                     atol=cfg.krylov.rel_tol * res_norm,
                     restart=cfg.krylov.restart,

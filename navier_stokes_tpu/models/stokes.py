@@ -95,18 +95,29 @@ class StokesSolver:
             cell_mat, cell_pmass, rhs = assemble_stokes(
                 ctx, nu=cfg.nu, rho=cfg.rho, p_out=cfg.p_out
             )
-            diag0 = ops.raw_diagonal(cell_mat, cell_dofs, n)
+            diag0 = ops.raw_diagonal(cell_mat, cell_dofs, n, ctx.axis_name, ctx.scatter_full)
             bc_diag = diag0[bc_rows]
             rhs = rhs.at[bc_rows].set(bc_diag * bc_vals)
             op = ops.ElementOperator(
-                cell_mat=cell_mat, cell_dofs=cell_dofs, bc_rows=bc_rows, bc_diag=bc_diag, n=n
+                cell_mat=cell_mat,
+                cell_dofs=cell_dofs,
+                bc_rows=bc_rows,
+                bc_diag=bc_diag,
+                scatter_idx=ctx.scatter_full,
+                n=n,
+                axis_name=ctx.axis_name,
             )
             kind = cfg.krylov.preconditioner
             if kind == "identity":
                 precond = identity()
             else:
-                A00 = ops.velocity_block(op, dim, nb_v, self.dofs.n_u, bc_mask=bc_mask_u)
-                Mp = ops.pressure_mass_block(cell_pmass, cell_pdofs, self.dofs.n_p)
+                A00 = ops.velocity_block(
+                    op, dim, nb_v, self.dofs.n_u, bc_mask=bc_mask_u,
+                    scatter_idx=ctx.scatter_vel,
+                )
+                Mp = ops.pressure_mass_block(
+                    cell_pmass, cell_pdofs, self.dofs.n_p, scatter_idx=ctx.scatter_p
+                )
                 if kind == "block_diagonal":
                     precond = block_diagonal(A00, Mp, inner_tol=cfg.krylov.inner_tol)
                 else:
@@ -118,6 +129,7 @@ class StokesSolver:
                         cell_pdofs,
                         inner_tol=cfg.krylov.inner_tol,
                         inner_maxiter=cfg.krylov.inner_max_iters,
+                        B_scatter_idx=ctx.scatter_p,
                     )
             # x0 satisfying the BCs so constrained rows are solved exactly
             x0 = jnp.zeros(n, dtype=rhs.dtype).at[bc_rows].set(bc_vals)

@@ -106,6 +106,37 @@ def pad_and_shard_context(
     nf = ctx.neu_cell_vdofs.shape[0]
     nf_pad = -(-max(nf, 1) // n_dev) * n_dev
 
+    # per-shard transpose gather maps (each shard reduces its LOCAL cells
+    # into a full-length vector, then one psum) — stacked on the cell axis so
+    # shard_map hands each device its own [n, K] map
+    from ..ops.scatter import build_gather_map
+
+    cd_pad = reorder_pad(ctx.cell_dofs)
+    per = nc_pad // n_dev
+    nb_v = int(ctx.N_v.shape[0])
+    nb_p = int(ctx.N_p.shape[0])
+    nvl = ctx.dim * nb_v
+    n_p = ctx.n_total - ctx.n_u
+
+    def shard_maps(extract, n_rows, src_cols):
+        maps = [
+            build_gather_map(extract(cd_pad[s * per : (s + 1) * per]), n_rows)
+            for s in range(n_dev)
+        ]
+        K = max(m.shape[1] for m in maps)
+        sentinel = per * src_cols
+        padded = [
+            np.pad(m, ((0, 0), (0, K - m.shape[1])), constant_values=sentinel)
+            for m in maps
+        ]
+        return np.concatenate(padded, axis=0).astype(np.int32)
+
+    scatter_full = shard_maps(lambda c: c, ctx.n_total, cd_pad.shape[1])
+    scatter_vel = shard_maps(lambda c: c[:, :nvl], ctx.n_u, nvl)
+    scatter_p = shard_maps(
+        lambda c: np.maximum(c[:, -nb_p:] - ctx.n_u, 0), n_p, nb_p
+    )
+
     new = dataclasses.replace(
         ctx,
         invJT=jnp.asarray(invJT),
@@ -117,6 +148,9 @@ def pad_and_shard_context(
         neu_N_v=jnp.asarray(_pad_rows(np.asarray(ctx.neu_N_v), nf_pad)),
         neu_normal=jnp.asarray(_pad_rows(np.asarray(ctx.neu_normal), nf_pad)),
         neu_jxw=jnp.asarray(_pad_rows(np.asarray(ctx.neu_jxw), nf_pad)),
+        scatter_full=jnp.asarray(scatter_full),
+        scatter_vel=jnp.asarray(scatter_vel),
+        scatter_p=jnp.asarray(scatter_p),
         axis_name=axis,
     )
     # place: cell/facet arrays sharded on axis 0, tabulations replicated
@@ -148,4 +182,7 @@ def context_pspecs(ctx: FEMContext, axis: str = AXIS) -> FEMContext:
         neu_N_v=sh,
         neu_normal=sh,
         neu_jxw=sh,
+        scatter_full=sh,
+        scatter_vel=sh,
+        scatter_p=sh,
     )

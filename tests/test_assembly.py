@@ -158,6 +158,7 @@ def test_matvec_matches_dense(setup):
         cell_dofs=ctx.cell_dofs,
         bc_rows=jnp.asarray(rows),
         bc_diag=jnp.asarray(diag),
+        scatter_idx=ctx.scatter_full,
         n=n,
     )
     y = np.asarray(ops.matvec(op, jnp.asarray(x)))

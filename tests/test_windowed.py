@@ -1,0 +1,148 @@
+"""Windowed (SFC-blocked) matvec: layout construction, reference math, and
+the Pallas kernel (interpret mode) must all agree with the flat operator."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_tpu.fem.assembly import assemble_navier_stokes, build_context
+from navier_stokes_tpu.fem.dofs import make_dofs, renumber_blocked, renumber_sfc
+from navier_stokes_tpu.la import operators as ops
+from navier_stokes_tpu.mesh.generate import unit_square
+from navier_stokes_tpu.ops.windowed import (
+    build_windowed_layout,
+    windowed_matvec,
+    windowed_matvec_reference,
+)
+from navier_stokes_tpu.parallel.spmd import morton_order
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = unit_square(6)
+    dofs, block_info = renumber_blocked(make_dofs(mesh), cells_per_block=16)
+    ctx = build_context(dofs, neumann_tags=(1,))
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal(dofs.n_total))
+    u_old = jnp.asarray(rng.standard_normal(dofs.n_total))
+    cell_mat, _, _ = assemble_navier_stokes(
+        ctx, u, u_old, dt=0.1, nu=0.01, rho=1.0, p_out=2.0
+    )
+    lay = build_windowed_layout(
+        dofs.cell_vdofs, dofs.cell_pdofs, dofs.n_vs, dofs.n_ps, mesh.dim,
+        block_info=block_info,
+    )
+    x = jnp.asarray(rng.standard_normal(dofs.n_total))
+    op = ops.ElementOperator(
+        cell_mat=cell_mat,
+        cell_dofs=ctx.cell_dofs,
+        bc_rows=jnp.zeros((0,), jnp.int32),
+        bc_diag=jnp.zeros((0,)),
+        scatter_idx=None,
+        n=dofs.n_total,
+    )
+    y_flat = np.asarray(ops.matvec(op, x))
+    A_blk = cell_mat[lay.cell_ids]
+    return dofs, lay, A_blk, x, y_flat
+
+
+def test_layout_covers_every_contribution(setup):
+    dofs, lay, A_blk, x, y_flat = setup
+    # every (cell) appears in >= 1 block; duplication is modest
+    ids = np.asarray(lay.cell_ids)
+    hi = np.asarray(lay.loc_v_hi)  # [nb, kpad, Bmax]
+    WV = (2 * lay.hv + 1) * lay.OWv
+    valid = hi[:, 0, :] < WV // 128
+    assert set(ids[valid].tolist()) == set(range(dofs.mesh.n_cells))
+    assert lay.dup_factor < 3.0
+
+
+def test_reference_matches_flat(setup):
+    dofs, lay, A_blk, x, y_flat = setup
+    y_win = np.asarray(windowed_matvec_reference(lay, A_blk, x))
+    np.testing.assert_allclose(y_win, y_flat, rtol=1e-10, atol=1e-10)
+
+
+def test_pallas_interpret_matches_flat(setup):
+    dofs, lay, A_blk, x, y_flat = setup
+    y = np.asarray(
+        windowed_matvec(
+            lay, jnp.asarray(A_blk, jnp.float32), jnp.asarray(x, jnp.float32),
+            interpret=True,
+        )
+    )
+    np.testing.assert_allclose(y, y_flat, rtol=2e-4, atol=2e-4)
+
+
+def test_solver_with_windowed_matvec():
+    """Full NS solve with matvec='windowed' (CPU reference path) matches the
+    flat-path solution field at matching support points."""
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    def run(matvec):
+        cfg = SolverConfig(
+            inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+            nu=0.04, p_out=10.0, dt=0.05, T=0.1,
+        )
+        cfg.krylov.max_iters = 500
+        cfg.krylov.matvec = matvec
+        cfg.krylov.cells_per_block = 16
+        s = NavierStokesSolver(unit_square(3), cfg, log=RunLog(verbose=False))
+        s.solve()
+        return {
+            tuple(np.round(c, 10)): v
+            for c, v in zip(s.dofs.v_coords, s.velocity())
+            if np.any(v != 0) or True
+        }, s
+
+    f_flat, s_flat = run("flat")
+    f_win, s_win = run("windowed")
+    # compare only at REAL dofs (windowed layout pads with hole dofs at 0,0)
+    real = {tuple(np.round(c, 10)) for c in s_flat.dofs.v_coords}
+    err = max(np.max(np.abs(f_flat[k] - f_win[k])) for k in real)
+    assert err < 1e-8
+
+
+def test_renumbered_solution_equivalent():
+    """Same physics under SFC renumbering: fields agree at matching coords."""
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    cfg = SolverConfig(
+        inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+        nu=0.04, p_out=10.0, dt=0.05, T=0.1,
+    )
+    cfg.krylov.max_iters = 500
+
+    base = NavierStokesSolver(unit_square(3), cfg, log=RunLog(verbose=False))
+    base.solve()
+
+    # manual renumbered run
+    ren = NavierStokesSolver(unit_square(3), cfg, log=RunLog(verbose=False))
+    ren.mesh_order = None
+    ren.setup()
+    order = morton_order(ren.mesh.coords[ren.mesh.cells].mean(axis=1))
+    ren.dofs = renumber_sfc(make_dofs(ren.mesh), order)
+    from navier_stokes_tpu.fem.assembly import build_context as bc
+    from navier_stokes_tpu.fem.bcs import DirichletBC, build_dirichlet
+
+    ren.ctx = bc(ren.dofs, neumann_tags=cfg.neumann_tags, dtype=ren._dtype)
+    specs = [DirichletBC(tags=tuple(cfg.inlet_tags), value=ren.inlet), DirichletBC(tags=tuple(cfg.wall_tags))]
+    ren.dirichlet = build_dirichlet(ren.dofs, specs)
+    ren._bc_rows = jnp.asarray(ren.dirichlet.rows, dtype=jnp.int32)
+    ren.solution = jnp.zeros(ren.dofs.n_total, dtype=ren._dtype)
+    ren.solution_old = ren.solution
+    ren._build_kernels()
+    ren.solve()
+
+    # compare velocity fields at matched support points
+    def field(s):
+        return {tuple(np.round(c, 10)): v for c, v in zip(s.dofs.v_coords, s.velocity())}
+
+    fb, fr = field(base), field(ren)
+    err = max(np.max(np.abs(fb[k] - fr[k])) for k in fb)
+    assert err < 1e-8
