@@ -90,6 +90,10 @@ class Mesh:
 
     @cached_property
     def _edge_data(self) -> tuple[np.ndarray, np.ndarray]:
+        from . import meshkit
+
+        if meshkit.available():
+            return meshkit.extract_edges_native(self.cells, self.dim)
         return extract_edges(self.cells, self.dim)
 
     @property

@@ -30,7 +30,17 @@ _ETYPES = {
 }
 
 
-def read_msh(path: str, name: str | None = None) -> Mesh:
+def read_msh(path: str, name: str | None = None, backend: str = "auto") -> Mesh:
+    """Read a gmsh mesh.  backend: "auto" prefers the native C++ parser
+    (csrc/meshkit.cpp, ~5-10x faster) and falls back to pure Python;
+    "python" / "native" force one implementation."""
+    if backend in ("auto", "native"):
+        from . import meshkit
+
+        if meshkit.available():
+            return meshkit.read_msh_native(path, name=name)
+        if backend == "native":
+            raise RuntimeError("native meshkit not built (make -C csrc)")
     with open(path, "rb") as f:
         data = f.read()
     return read_msh_bytes(data, name=name or str(path))
