@@ -38,6 +38,7 @@ class KrylovConfig:
     cells_per_block: int = 512  # windowed-layout block size
     inner_tol: float = 1e-2  # hpp:542,599
     inner_max_iters: int = 2000  # hpp:598
+    stokes_rel_tol: float = 1e-6  # cpp:538 (steady Stokes solve)
 
 
 @dataclass

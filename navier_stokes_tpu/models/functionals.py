@@ -75,16 +75,17 @@ class BoundaryForce:
         Gp = jnp.einsum("fda,fbqa->fbqd", self.invJT, self.G_ref)
         gradu = jnp.einsum("fcb,fbqd->fqcd", uc, Gp)  # du_c/dx_d at face qpts
         p_q = jnp.einsum("fb,fbq->fq", pc, self.N_p)
-        # traction t_c = -p n_c + nu rho (grad u . n)_c
+        # traction on the FLUID: t = sigma . n with n out of the fluid;
+        # the force exerted BY the fluid ON the boundary is the negative
+        # (DFG convention: integrate with the normal pointing INTO the fluid)
         tr = -p_q[:, :, None] * self.normal[:, None, :] + (self.nu * self.rho) * jnp.einsum(
             "fqcd,fd->fqc", gradu, self.normal
         )
-        return jnp.einsum("fqc,fq->c", tr, self.jxw)
+        return -jnp.einsum("fqc,fq->c", tr, self.jxw)
 
     def force(self, solution) -> np.ndarray:
-        """Total force vector exerted BY the fluid ON the boundary."""
-        # outward normal of the domain points INTO the obstacle; traction with
-        # this normal is the force the fluid applies on the wall
+        """Total force vector exerted BY the fluid ON the boundary (DFG sign:
+        drag of forward flow on an obstacle is positive)."""
         return np.asarray(self._eval(jnp.asarray(solution)))
 
     def coefficients(self, solution, u_mean: float, length: float) -> tuple[float, float]:

@@ -279,15 +279,15 @@ class NavierStokesSolver:
                 out_specs=(P(), P(), P()),
             )
             ctx = self.ctx
-            self._newton_iteration = jax.jit(
-                lambda u, uo, bv: wrapped(ctx, u, uo, bv), donate_argnums=(0,)
-            )
+            self.newton_iteration_fn = lambda u, uo, bv: wrapped(ctx, u, uo, bv)
+            self._newton_iteration = jax.jit(self.newton_iteration_fn, donate_argnums=(0,))
         else:
             from functools import partial
 
-            self._newton_iteration = jax.jit(
-                partial(newton_iteration, self.ctx), donate_argnums=(0,)
-            )
+            # newton_iteration_fn: un-donated jittable variant for external
+            # callers that reuse their arrays (compile checks, benchmarking)
+            self.newton_iteration_fn = partial(newton_iteration, self.ctx)
+            self._newton_iteration = jax.jit(self.newton_iteration_fn, donate_argnums=(0,))
 
     # ------------------------------------------------------------------
     def solve_newton(self):
@@ -314,23 +314,56 @@ class NavierStokesSolver:
         return n_iter, res_norm
 
     # ------------------------------------------------------------------
-    def solve(self):
-        """Implicit-Euler time loop (cpp:629-679)."""
+    def save_checkpoint(self, path, step: int | None = None):
+        """Full restart state (solution, previous step, time) — capability the
+        reference lacks (SURVEY §5: its HDF5 output is visualization-only)."""
+        from ..io.checkpoint import save_checkpoint
+
+        return save_checkpoint(
+            path,
+            solution=np.asarray(self.solution, np.float64),
+            solution_old=np.asarray(self.solution_old, np.float64),
+            time=self.time,
+            step=step if step is not None else getattr(self, "_step", 0),
+        )
+
+    def restore_checkpoint(self, path):
+        from ..io.checkpoint import load_checkpoint
+
+        if not self._is_setup:
+            self.setup()
+        d = load_checkpoint(path)
+        self.solution = jnp.asarray(d["solution"], dtype=self._dtype)
+        self.solution_old = jnp.asarray(d["solution_old"], dtype=self._dtype)
+        self.time = d["time"]
+        self._step = d["step"]
+        return self
+
+    # ------------------------------------------------------------------
+    def solve(self, resume: bool = False):
+        """Implicit-Euler time loop (cpp:629-679).
+
+        resume=True continues from the current (restored) state instead of
+        re-applying the zero initial condition.
+        """
         if not self._is_setup:
             self.setup()
         cfg, log = self.cfg, self.log
         log.banner()
-        self.time = 0.0
 
-        log.print("Applying the initial condition")
-        self.solution = jnp.zeros(self.dofs.n_total, dtype=self._dtype)
-        self._output(0, 0.0)
-        log.rule()
+        if not resume:
+            self.time = 0.0
+            self._step = 0
+            log.print("Applying the initial condition")
+            self.solution = jnp.zeros(self.dofs.n_total, dtype=self._dtype)
+            self._output(0, 0.0)
+            log.rule()
 
-        step = 0
+        step = getattr(self, "_step", 0)
         while self.time < cfg.T - 0.5 * cfg.dt:
             self.time += cfg.dt
             step += 1
+            self._step = step
             # copy (not alias): the Newton kernel donates `solution`, and a
             # donated buffer must not also be passed as solution_old
             self.solution_old = self.solution.copy()

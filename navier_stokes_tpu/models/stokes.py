@@ -137,7 +137,7 @@ class StokesSolver:
                 lambda v: ops.matvec(op, v),
                 rhs,
                 x0=x0,
-                atol=1e-6 * jnp.linalg.norm(rhs),  # cpp:538
+                atol=cfg.krylov.stokes_rel_tol * jnp.linalg.norm(rhs),  # cpp:538
                 restart=cfg.krylov.restart,
                 maxiter=cfg.krylov.max_iters,
                 precond=precond,

@@ -1,0 +1,100 @@
+"""3D (tetrahedral P2/P1) solver path: assembly cross-checked in test_assembly;
+here the full solvers, windowed layout, and the shipped 3D meshes."""
+
+import os
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_tpu.config import SolverConfig
+from navier_stokes_tpu.fem.assembly import assemble_navier_stokes, build_context
+from navier_stokes_tpu.fem.dofs import make_dofs, renumber_blocked
+from navier_stokes_tpu.la import operators as ops
+from navier_stokes_tpu.mesh.generate import box
+from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+from navier_stokes_tpu.models.stokes import StokesSolver
+from navier_stokes_tpu.ops.windowed import build_windowed_layout, windowed_matvec_reference
+from navier_stokes_tpu.utils.logging import RunLog
+
+NU, RHO, POUT = 0.1, 1.0, 5.0
+
+
+def box_cfg(**kw):
+    cfg = SolverConfig(
+        inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3, 4, 5),
+        nu=NU, rho=RHO, p_out=POUT, dt=0.1, T=0.2,
+    )
+    for k, v in kw.items():
+        setattr(cfg, k, v)
+    cfg.krylov.max_iters = 2000
+    return cfg
+
+
+def test_stokes_poiseuille_3d():
+    """3D channel: u = (y(1-y)z(1-z)*c, 0, 0) is NOT exact for P2 (degree 4),
+    so use the hydrostatic state instead: zero inlet + p_out -> u=0, p=p_out."""
+    cfg = box_cfg()
+    cfg.krylov.preconditioner = "block_triangular"
+    s = StokesSolver(box(2, 2, 2), cfg, log=RunLog(verbose=False))
+    s.solve()
+    assert np.max(np.abs(s.velocity())) < 1e-4
+    assert np.allclose(s.pressure(), POUT, atol=1e-3)
+
+
+def test_unsteady_ns_3d():
+    cfg = box_cfg()
+    solver = NavierStokesSolver(box(2, 2, 2), cfg, log=RunLog(verbose=False))
+    sol = solver.solve()
+    s = np.asarray(sol)
+    assert np.all(np.isfinite(s))
+    u = solver.velocity()
+    bd = solver.dofs.boundary_scalar_vdofs([0, 2, 3, 4, 5])
+    assert np.max(np.abs(u[bd])) < 1e-8
+    # with the reference's omitted continuity residual and loose tolerances
+    # (newton 1e-2 abs / gmres 1e-2 rel), pressure is only determined to O(1)
+    # near-null accuracy — same behavior as the as-shipped deal.II run
+    assert np.abs(np.mean(solver.pressure()) - POUT) < 1.0
+
+
+def test_windowed_matvec_3d():
+    mesh = box(2, 2, 2)
+    dofs, bi = renumber_blocked(make_dofs(mesh), cells_per_block=16)
+    ctx = build_context(dofs, neumann_tags=(1,))
+    lay = build_windowed_layout(
+        dofs.cell_vdofs, dofs.cell_pdofs, dofs.n_vs, dofs.n_ps, 3, block_info=bi
+    )
+    rng = np.random.default_rng(2)
+    u = jnp.asarray(rng.standard_normal(dofs.n_total))
+    cell_mat, _, _ = assemble_navier_stokes(
+        ctx, u, u, dt=0.1, nu=NU, rho=RHO, p_out=POUT
+    )
+    x = jnp.asarray(rng.standard_normal(dofs.n_total))
+    op = ops.ElementOperator(
+        cell_mat=cell_mat, cell_dofs=ctx.cell_dofs,
+        bc_rows=jnp.zeros((0,), jnp.int32), bc_diag=jnp.zeros((0,)),
+        scatter_idx=None, n=dofs.n_total,
+    )
+    y_flat = np.asarray(ops.matvec(op, x))
+    y_win = np.asarray(windowed_matvec_reference(lay, cell_mat[lay.cell_ids], x))
+    np.testing.assert_allclose(y_win, y_flat, rtol=1e-10, atol=1e-10)
+
+
+def test_backward_step_mesh_solve(ref_mesh_dir):
+    """One implicit-Euler step on the shipped 3D backward-step mesh
+    (mesh-step-3.msh; BASELINE.md's multi-chip scaling config family).
+    Tags in that mesh: boundary tag 0 everywhere -> treat all as walls with a
+    Neumann-free, pure initial-transient solve."""
+    import navier_stokes_tpu.mesh.msh_io as mio
+
+    mesh = mio.read_msh(os.path.join(ref_mesh_dir, "mesh-step-3.msh"))
+    assert mesh.dim == 3
+    tags = list(mesh.tags)
+    cfg = SolverConfig(
+        inlet_tags=(tags[0],), neumann_tags=tuple(tags[1:2]), wall_tags=tuple(tags[2:]),
+        nu=NU, rho=RHO, p_out=POUT, dt=0.1, T=0.1,
+    )
+    cfg.krylov.max_iters = 3000
+    solver = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False))
+    sol = solver.solve()
+    assert np.all(np.isfinite(np.asarray(sol)))
