@@ -147,6 +147,25 @@ class Mesh:
         )
 
 
+def retag_boundary(mesh: Mesh, tag_fn) -> Mesh:
+    """New Mesh with boundary tags assigned by geometry.
+
+    tag_fn(midpoints [n_bf, dim]) -> int array [n_bf].  Needed for shipped
+    meshes without physical groups (e.g. mesh_poli.msh, whose boundary is all
+    tag 0 — the reference could not actually run its DFG case on it either).
+    """
+    mid = mesh.coords[mesh.boundary_facets].mean(axis=1)
+    tags = np.asarray(tag_fn(mid), dtype=np.int32)
+    return Mesh(
+        coords=mesh.coords.copy(),
+        cells=mesh.cells.copy(),
+        boundary_facets=mesh.boundary_facets.copy(),
+        boundary_tags=tags,
+        name=mesh.name + "+retag",
+        cell_tags=mesh.cell_tags,
+    )
+
+
 def refine_uniform(mesh: Mesh, times: int = 1) -> Mesh:
     """Red (regular) uniform refinement: each tri -> 4 tris, each tet -> 8 tets.
 

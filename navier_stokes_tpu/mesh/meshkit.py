@@ -91,11 +91,15 @@ def read_msh_native(path: str, name: str | None = None):
             raise NotImplementedError(f"{path}: surface mesh not supported")
 
     from .mesh import Mesh
+    from .msh_io import _delete_unused_vertices
 
+    coords, cells64, bf64 = _delete_unused_vertices(
+        coords3[:, :dim], cells.astype(np.int64), bf.astype(np.int64)
+    )
     return Mesh(
-        coords=coords3[:, :dim],
-        cells=cells,
-        boundary_facets=bf,
+        coords=coords,
+        cells=cells64.astype(np.int32),
+        boundary_facets=bf64.astype(np.int32),
         boundary_tags=bt,
         name=name or path,
         cell_tags=cell_tags,

@@ -195,12 +195,26 @@ def _build_mesh(nodes, elems, name: str) -> Mesh:
             bfacets.append(mapped)
             btags.append(phys)
 
-    mesh = Mesh(
+    cells = np.array(cells, dtype=np.int64)
+    bfacets = np.array(bfacets, dtype=np.int64).reshape(-1, cell_dim)
+    coords, cells, bfacets = _delete_unused_vertices(coords, cells, bfacets)
+    return Mesh(
         coords=coords,
-        cells=np.array(cells, dtype=np.int32),
-        boundary_facets=np.array(bfacets, dtype=np.int32).reshape(-1, cell_dim),
+        cells=cells.astype(np.int32),
+        boundary_facets=bfacets.astype(np.int32),
         boundary_tags=np.array(btags, dtype=np.int32),
         name=name,
         cell_tags=np.array(cell_tags, dtype=np.int32),
     )
-    return mesh
+
+
+def _delete_unused_vertices(coords, cells, bfacets):
+    """Drop nodes referenced by no cell (deal.II GridIn does the same —
+    gmsh files often carry orphan geometry points)."""
+    used = np.zeros(len(coords), dtype=bool)
+    used[cells.ravel()] = True
+    used[bfacets.ravel()] = True
+    if used.all():
+        return coords, cells, bfacets
+    new_id = np.cumsum(used) - 1
+    return coords[used], new_id[cells], new_id[bfacets]

@@ -63,6 +63,9 @@ class NavierStokesSolver:
         self.time = 0.0
         self._is_setup = False
         self.output_hooks = []  # callables (step, t, solution_np)
+        from ..utils.timers import PhaseTimers
+
+        self.timers = PhaseTimers()  # observability the reference lacks (SURVEY §5)
 
     # ------------------------------------------------------------------
     def setup(self):
@@ -298,10 +301,11 @@ class NavierStokesSolver:
         while n_iter < cfg.newton.max_iters and res_norm > cfg.newton.tol:
             log.banner()
             log.print("Assembling the system")
-            self.solution, rn, gmres_iters = self._newton_iteration(
-                self.solution, self.solution_old, bc_vals
-            )
-            res_norm = float(rn)
+            with self.timers("newton_iteration"):
+                self.solution, rn, gmres_iters = self._newton_iteration(
+                    self.solution, self.solution_old, bc_vals
+                )
+                res_norm = float(rn)  # host sync inside the timed region
             log.banner()
             log.newton_residual(n_iter, cfg.newton.max_iters, res_norm)
             if res_norm > cfg.newton.tol:

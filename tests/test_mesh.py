@@ -13,12 +13,14 @@ from navier_stokes_tpu.mesh.mesh import refine_uniform
 from navier_stokes_tpu.mesh.msh_io import read_msh
 
 GOLDEN = {
-    # name: (nodes, cells, dim)  — from BASELINE.md problem-size table
+    # name: (nodes, cells, dim) — BASELINE.md problem-size table, adjusted for
+    # unused-vertex deletion (deal.II GridIn semantics): mesh_poli and mesh2d
+    # each carry an orphan geometry point that no cell references
     "correct_mesh_yt.msh": (3350, 6448, 2),
-    "mesh_poli.msh": (10846, 21166, 2),
-    "mesh2d.msh": (372, 796, 2),
-    "mesh_poli2.msh": (10957, 21354, 2),
-    "mesh_poli2_t.msh": (10957, 21354, 2),
+    "mesh_poli.msh": (10845, 21166, 2),
+    "mesh2d.msh": (371, 796, 2),
+    "mesh_poli2.msh": (10956, 21354, 2),
+    "mesh_poli2_t.msh": (10956, 21354, 2),
     "mesh-square-h0.100000.msh": (121, 200, 2),
     "mesh-square-h0.050000.msh": (441, 800, 2),
     "mesh-square-h0.025000.msh": (1681, 3200, 2),
