@@ -63,6 +63,7 @@ def main():
     cfg.jacobian_mass_rho = True
     cfg.krylov.max_iters = 3000
     cfg.krylov.matvec = "windowed"
+    cfg.newton.max_iters = 30  # full-step Newton can crawl in fast transients
 
     log = ns.RunLog()
     solver = ns.NavierStokesSolver(mesh, cfg, log=log, inlet=inflow)

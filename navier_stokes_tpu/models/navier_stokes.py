@@ -196,6 +196,71 @@ class NavierStokesSolver:
             )
         raise ValueError(f"unknown preconditioner {kind!r}")
 
+    def _make_windowed_preconditioner(self, ctx, lay, A_blk, cell_pmass, bc_diag, diag0):
+        """Schur preconditioners built ON the windowed operator.
+
+        The velocity block never needs its own kernel: with the planar layout,
+        A00 x_u is the velocity segment of the FULL operator applied to
+        [x_u; 0] (the pressure rows it also computes are B x_u — reused for
+        the triangular sweep).  The pressure-mass solve uses the LUMPED mass
+        inverse (row sums), the standard spectrally-equivalent Schur surrogate
+        — no inner iteration at all.
+        """
+        cfg = self.cfg
+        kind = cfg.krylov.preconditioner
+        if kind == "identity":
+            return identity()
+        from ..la.cg import cg
+        from ..la.preconditioners import jacobi
+        from ..ops.scatter import gather_scatter
+        from ..ops.windowed import windowed_matvec
+
+        n, n_u, n_p = self.dofs.n_total, self.dofs.n_u, self.dofs.n_p
+        bc_rows = self._bc_rows  # all velocity rows by construction
+
+        # Jacobi diagonal of A00 with symmetric-BC replacement
+        diag_u = diag0[:n_u]
+        if bc_rows.shape[0]:
+            diag_u = diag_u.at[bc_rows].set(bc_diag)
+        pA = jacobi(diag_u)
+
+        # lumped pressure mass (positive: Mp = psi_i psi_j / nu)
+        nb_p = ctx.nb_p
+        lumped = gather_scatter(
+            cell_pmass.sum(axis=2).reshape(-1), ctx.scatter_p, xp=jnp
+        )
+        inv_mp = jnp.where(lumped > 0, 1.0 / jnp.where(lumped > 0, lumped, 1.0), 1.0)
+
+        def apply_full(xu, zero_bc):
+            x = jnp.zeros(n, dtype=xu.dtype).at[:n_u].set(xu)
+            if zero_bc and bc_rows.shape[0]:
+                x = x.at[bc_rows].set(0.0)
+            return windowed_matvec(lay, A_blk, x)
+
+        def A00_mv(v):  # SPD-consistent (symmetric BC elimination)
+            y = apply_full(v, zero_bc=True)[:n_u]
+            if bc_rows.shape[0]:
+                y = y.at[bc_rows].set(bc_diag * v[bc_rows])
+            return y
+
+        inner_maxiter = min(cfg.krylov.inner_max_iters, 60)
+
+        def apply(v):
+            vu, vp = v[:n_u], v[n_u:]
+            du = cg(
+                A00_mv, vu,
+                atol=cfg.krylov.inner_tol * jnp.linalg.norm(vu),
+                maxiter=inner_maxiter, precond=pA,
+            ).x
+            if kind == "block_diagonal":
+                dp = inv_mp * vp
+            else:  # block_triangular Schur sweep (hpp:594-619)
+                B_du = apply_full(du, zero_bc=False)[n_u:]
+                dp = inv_mp * (vp - B_du)
+            return jnp.concatenate([du, dp])
+
+        return apply
+
     def _build_kernels(self):
         cfg = self.cfg
         bc_rows = self._bc_rows
@@ -234,8 +299,6 @@ class NavierStokesSolver:
                 n=n,
                 axis_name=ctx.axis_name,
             )
-            precond = self._make_preconditioner(ctx, op, cell_pmass)
-
             if self._win_layout is not None:
                 from ..ops.windowed import windowed_matvec
 
@@ -248,10 +311,15 @@ class NavierStokesSolver:
                         y = y.at[bc_rows].set(bc_diag * v[bc_rows])
                     return y
 
+                precond = self._make_windowed_preconditioner(
+                    ctx, lay, A_blk, cell_pmass, bc_diag, diag0
+                )
             else:
 
                 def apply_op(v):
                     return ops.matvec(op, v)
+
+                precond = self._make_preconditioner(ctx, op, cell_pmass)
 
             def do_solve(_):
                 sol = fgmres(

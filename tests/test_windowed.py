@@ -106,6 +106,37 @@ def test_solver_with_windowed_matvec():
     assert err < 1e-8
 
 
+def test_solver_windowed_block_triangular():
+    """Windowed matvec + the lumped-Schur preconditioner converges to the
+    same solution as the flat path with identity preconditioning."""
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    def run(matvec, precond):
+        cfg = SolverConfig(
+            inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+            nu=0.04, p_out=10.0, dt=0.05, T=0.1,
+        )
+        cfg.newton.tol = 1e-6
+        cfg.krylov.rel_tol = 1e-6
+        cfg.krylov.max_iters = 800
+        cfg.krylov.matvec = matvec
+        cfg.krylov.cells_per_block = 16
+        cfg.krylov.preconditioner = precond
+        s = NavierStokesSolver(unit_square(3), cfg, log=RunLog(verbose=False))
+        s.solve()
+        return {tuple(np.round(c, 10)): v for c, v in zip(s.dofs.v_coords, s.velocity())}, s
+
+    f_ref, s_ref = run("flat", "identity")
+    f_win, _ = run("windowed", "block_triangular")
+    real = {tuple(np.round(c, 10)) for c in s_ref.dofs.v_coords}
+    err = max(np.max(np.abs(f_ref[k] - f_win[k])) for k in real)
+    # both converged to newton tol 1e-6 (absolute); solutions agree to the
+    # solve level times a modest conditioning factor
+    assert err < 1e-4
+
+
 def test_renumbered_solution_equivalent():
     """Same physics under SFC renumbering: fields agree at matching coords."""
     from navier_stokes_tpu.config import SolverConfig
