@@ -294,6 +294,22 @@ def _pallas_matvec(lay: WindowedLayout, A_t, xw, interpret):
     RV, RP = _round_up(WV // 128, 8), _round_up(WP // 128, 8)
     dtype = A_t.dtype
 
+    # cells are processed in lane-chunks of Bc via a second grid dimension so
+    # VMEM holds only [nl, nli, Bc] of A at a time (3D cells are 34x34);
+    # per-block window accumulators live in scratch across the chunk steps
+    # (the TPU grid is sequential, innermost dimension fastest).
+    Bc = 256
+    while Bmax % Bc:
+        Bc //= 2
+    nchunks = Bmax // Bc
+
+    xw = [
+        jnp.zeros((lay.nb, R_, 128), w.dtype).at[:, : w.shape[1], :].set(w)
+        if w.shape[1] != R_
+        else w
+        for w, R_ in zip(xw, [RV] * dim + [RP])
+    ]
+
     def sel_dot(a, b, dims, split_arg=0):
         """f32-faithful selection matmul in 3 bf16 passes (Mosaic has no
         HIGH precision): split the VALUE operand into bf16-exact terms; the
@@ -311,36 +327,33 @@ def _pallas_matvec(lay: WindowedLayout, A_t, xw, interpret):
             out = d if out is None else out + d
         return out
 
-    xw = [
-        jnp.zeros((lay.nb, R_, 128), w.dtype).at[:, : w.shape[1], :].set(w)
-        if w.shape[1] != R_
-        else w
-        for w, R_ in zip(xw, [RV] * dim + [RP])
-    ]
-
-    # Whole-block two-level one-hot selection, cells on lanes.  Per scalar
-    # local dof l: ONE [R,128]x[R,Bmax] gather matmul feeding all components
-    # and ONE [R,Bmax]x[128,Bmax] scatter matmul per component — ~30 large
-    # MXU ops per block instead of thousands of small ones (TPU grid steps
-    # execute sequentially; small-op issue latency dominates otherwise).
     def kernel(lvh_ref, lvl_ref, lph_ref, lpl_ref, A_ref, *rest):
         x_refs = rest[: dim + 1]
-        y_refs = rest[dim + 1 :]
+        y_refs = rest[dim + 1 : 2 * (dim + 1)]
+        acc_refs = rest[2 * (dim + 1) :]
+        c = pl.program_id(1)
+
+        @pl.when(c == 0)
+        def _zero():
+            for r in acc_refs:
+                r[:] = jnp.zeros_like(r)
 
         def hilo(h_ref, l_ref, l, R):
-            hi = h_ref[0, l : l + 1, :]  # [1, Bmax]
+            hi = h_ref[0, l : l + 1, :]  # [1, Bc]
             lo = l_ref[0, l : l + 1, :]
-            ioh = jax.lax.broadcasted_iota(jnp.int32, (R, Bmax), 0)
-            iol = jax.lax.broadcasted_iota(jnp.int32, (128, Bmax), 0)
+            ioh = jax.lax.broadcasted_iota(jnp.int32, (R, Bc), 0)
+            iol = jax.lax.broadcasted_iota(jnp.int32, (128, Bc), 0)
             return (hi == ioh).astype(dtype), (lo == iol).astype(dtype)
 
-        # ---- gather + local row accumulation: yl[i, c] = sum_j A[j,i,c] x_j(c)
-        yl = jnp.zeros((nli, Bmax), dtype=dtype)
+        # gather + local row accumulation: yl[i, cell] = sum_j A[j,i,cell] x_j
+        yl = jnp.zeros((nli, Bc), dtype=dtype)
         for l in range(nb_v):
             ohh, ohl = hilo(lvh_ref, lvl_ref, l, RV)
             for comp in range(dim):
-                M = sel_dot(x_refs[comp][0], ohh, (((0,), (0,)), ((), ())))  # [128, Bmax]
-                xv = (M * ohl).sum(axis=0, keepdims=True)  # [1, Bmax]
+                M = sel_dot(
+                    x_refs[comp][0], ohh, (((0,), (0,)), ((), ()))
+                )  # [128, Bc]
+                xv = (M * ohl).sum(axis=0, keepdims=True)  # [1, Bc]
                 yl = yl + A_ref[0, comp * nb_v + l] * xv
         for l in range(nb_p):
             ohh, ohl = hilo(lph_ref, lpl_ref, l, RP)
@@ -348,56 +361,61 @@ def _pallas_matvec(lay: WindowedLayout, A_t, xw, interpret):
             xv = (M * ohl).sum(axis=0, keepdims=True)
             yl = yl + A_ref[0, dim * nb_v + l] * xv
 
-        # ---- scatter owned rows (one-hots rebuilt; cheap vs retaining all)
-        accs = [jnp.zeros((RV, 128), dtype=dtype) for _ in range(dim)] + [
-            jnp.zeros((RP, 128), dtype=dtype)
-        ]
+        # scatter owned rows into the window accumulators
         for l in range(nb_v):
             ohh, ohl = hilo(lvh_ref, lvl_ref, l, RV)
             for comp in range(dim):
-                yrow = yl[comp * nb_v + l : comp * nb_v + l + 1, :]  # [1, Bmax]
-                accs[comp] = accs[comp] + sel_dot(
+                yrow = yl[comp * nb_v + l : comp * nb_v + l + 1, :]  # [1, Bc]
+                acc_refs[comp][:] += sel_dot(
                     ohh, ohl * yrow, (((1,), (1,)), ((), ())), split_arg=1
-                )  # [RV, 128]
+                )
         for l in range(nb_p):
             ohh, ohl = hilo(lph_ref, lpl_ref, l, RP)
             yrow = yl[dim * nb_v + l : dim * nb_v + l + 1, :]
-            accs[dim] = accs[dim] + sel_dot(
+            acc_refs[dim][:] += sel_dot(
                 ohh, ohl * yrow, (((1,), (1,)), ((), ())), split_arg=1
             )
 
-        ov, op_ = lay.OWv // 128, lay.OWp // 128
-        for comp in range(dim):
-            y_refs[comp][0] = accs[comp][lay.hv * ov : (lay.hv + 1) * ov, :]
-        y_refs[dim][0] = accs[dim][lay.hp * op_ : (lay.hp + 1) * op_, :]
+        @pl.when(c == nchunks - 1)
+        def _emit():
+            ov, op_ = lay.OWv // 128, lay.OWp // 128
+            for comp in range(dim):
+                y_refs[comp][0] = acc_refs[comp][lay.hv * ov : (lay.hv + 1) * ov, :]
+            y_refs[dim][0] = acc_refs[dim][lay.hp * op_ : (lay.hp + 1) * op_, :]
 
     in_specs = [
-        pl.BlockSpec((1, kvp, Bmax), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kvp, Bmax), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kpp, Bmax), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kpp, Bmax), lambda b: (b, 0, 0), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nl, nli, Bmax), lambda b: (b, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kvp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kvp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kpp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kpp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, nl, nli, Bc), lambda b, c: (b, 0, 0, c), memory_space=pltpu.VMEM),
     ]
     for _ in range(dim):
         in_specs.append(
-            pl.BlockSpec((1, RV, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, RV, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
         )
-    in_specs.append(pl.BlockSpec((1, RP, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM))
+    in_specs.append(
+        pl.BlockSpec((1, RP, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+    )
 
     ov, op_ = lay.OWv // 128, lay.OWp // 128
     out_specs = [
-        pl.BlockSpec((1, ov, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)
+        pl.BlockSpec((1, ov, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
         for _ in range(dim)
-    ] + [pl.BlockSpec((1, op_, 128), lambda b: (b, 0, 0), memory_space=pltpu.VMEM)]
+    ] + [pl.BlockSpec((1, op_, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)]
     out_shape = [jax.ShapeDtypeStruct((nb, ov, 128), dtype) for _ in range(dim)] + [
         jax.ShapeDtypeStruct((nb, op_, 128), dtype)
+    ]
+    scratch_shapes = [pltpu.VMEM((RV, 128), dtype) for _ in range(dim)] + [
+        pltpu.VMEM((RP, 128), dtype)
     ]
 
     return pl.pallas_call(
         kernel,
-        grid=(nb,),
+        grid=(nb, nchunks),
         in_specs=in_specs,
         out_specs=out_specs,
         out_shape=out_shape,
+        scratch_shapes=scratch_shapes,
         interpret=interpret,
     )(lay.loc_v_hi, lay.loc_v_lo, lay.loc_p_hi, lay.loc_p_lo, A_t, *xw)
