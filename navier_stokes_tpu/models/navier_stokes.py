@@ -85,21 +85,31 @@ class NavierStokesSolver:
             from ..fem.dofs import renumber_blocked
             from ..ops.windowed import build_windowed_layout
 
-            self.dofs, block_info = renumber_blocked(
-                self.dofs, cells_per_block=cfg.krylov.cells_per_block
-            )
-            self._win_layout = build_windowed_layout(
-                self.dofs.cell_vdofs,
-                self.dofs.cell_pdofs,
-                self.dofs.n_vs,
-                self.dofs.n_ps,
-                self.mesh.dim,
-                block_info=block_info,
-            )
-            log.print(
-                f"  Windowed operator: {self._win_layout.nb} blocks, "
-                f"dup {self._win_layout.dup_factor:.2f}"
-            )
+            base_dofs = self.dofs
+            cpb = cfg.krylov.cells_per_block
+            for attempt in range(4):
+                try:
+                    dofs_r, block_info = renumber_blocked(base_dofs, cells_per_block=cpb)
+                    self._win_layout = build_windowed_layout(
+                        dofs_r.cell_vdofs,
+                        dofs_r.cell_pdofs,
+                        dofs_r.n_vs,
+                        dofs_r.n_ps,
+                        self.mesh.dim,
+                        block_info=block_info,
+                    )
+                    self.dofs = dofs_r
+                    break
+                except ValueError:
+                    cpb *= 2  # halo too wide: bigger owned ranges
+            if self._win_layout is None:
+                log.print("  (windowed layout infeasible for this mesh: flat path)")
+                cfg.krylov.matvec = "flat"
+            else:
+                log.print(
+                    f"  Windowed operator: {self._win_layout.nb} blocks "
+                    f"(cells/block {cpb}), dup {self._win_layout.dup_factor:.2f}"
+                )
         elem = self.dofs.element
         log.print(f"  Velocity degree:           = {cfg.degree_velocity}")
         log.print(f"  Pressure degree:           = {cfg.degree_pressure}")
