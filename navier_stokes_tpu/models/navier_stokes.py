@@ -206,7 +206,7 @@ class NavierStokesSolver:
             )
         raise ValueError(f"unknown preconditioner {kind!r}")
 
-    def _make_windowed_preconditioner(self, ctx, lay, A_blk, cell_pmass, bc_diag, diag0):
+    def _make_windowed_preconditioner(self, ctx, lay, A_t, cell_pmass, bc_diag, diag0):
         """Schur preconditioners built ON the windowed operator.
 
         The velocity block never needs its own kernel: with the planar layout,
@@ -245,7 +245,7 @@ class NavierStokesSolver:
             x = jnp.zeros(n, dtype=xu.dtype).at[:n_u].set(xu)
             if zero_bc and bc_rows.shape[0]:
                 x = x.at[bc_rows].set(0.0)
-            return windowed_matvec(lay, A_blk, x)
+            return windowed_matvec(lay, A_t, x)
 
         def A00_mv(v):  # SPD-consistent (symmetric BC elimination)
             y = apply_full(v, zero_bc=True)[:n_u]
@@ -310,19 +310,21 @@ class NavierStokesSolver:
                 axis_name=ctx.axis_name,
             )
             if self._win_layout is not None:
-                from ..ops.windowed import windowed_matvec
+                from ..ops.windowed import to_block_form, windowed_matvec
 
                 lay = self._win_layout
-                A_blk = cell_mat[lay.cell_ids]
+                # ONE gather+transpose per Newton iteration into the kernel's
+                # cells-on-lanes layout; every GMRES matvec reuses A_t as-is
+                A_t = to_block_form(lay, cell_mat)
 
                 def apply_op(v):
-                    y = windowed_matvec(lay, A_blk, v)
+                    y = windowed_matvec(lay, A_t, v)
                     if bc_rows.shape[0]:
                         y = y.at[bc_rows].set(bc_diag * v[bc_rows])
                     return y
 
                 precond = self._make_windowed_preconditioner(
-                    ctx, lay, A_blk, cell_pmass, bc_diag, diag0
+                    ctx, lay, A_t, cell_pmass, bc_diag, diag0
                 )
             else:
 

@@ -1,4 +1,4 @@
-"""Windowed matrix-free operator application: the TPU-native SpMV.
+"""Windowed matrix-free operator application: the TPU-native SpMV (v2).
 
 THE hot kernel of the framework (GMRES tangent solves are ~200 operator
 applications per Newton step, SURVEY §3.3).  Irregular gathers/scatters cost
@@ -6,22 +6,40 @@ applications per Newton step, SURVEY §3.3).  Irregular gathers/scatters cost
 two orders of magnitude off the HBM roofline.  This module replaces BOTH with
 dense, tileable primitives:
 
-  1. DoFs are renumbered to minimal bandwidth (fem/dofs.renumber_bandwidth,
-     reverse Cuthill-McKee) so block b OWNS the contiguous scalar ranges
-     [b*OW, (b+1)*OW) and every cell's dofs span O(sqrt(n)) positions.
+  1. DoFs carry a blocked locality renumbering (fem/dofs.renumber_blocked):
+     block b OWNS the contiguous scalar ranges [b*OW, (b+1)*OW) and every
+     cell's dofs span O(sqrt(n)) positions.
   2. Block b's WINDOW is the (2h+1)-block neighborhood around its owned
      range (h = measured halo reach in blocks): window extraction from the
      global vector is (2h+1) aligned reshapes — no gather.
-  3. Within a Pallas kernel, per-local-dof one-hot masks turn the remaining
-     window-local gather/scatter into small MXU matmuls:
-         gather:   x_loc = onehot_l @ x_window^T
-         scatter:  y_window += y_l^T @ onehot_l
-     Every (cell, row) contribution lands exactly once: a row's window
-     position is inside the OWNED slice [h*OW, (h+1)*OW) iff this block owns
-     it, and cells are listed in every block whose owned range they touch.
+  3. Cells are listed (duplicated) in every block whose owned range they
+     touch, SORTED within each block by window position, and processed in
+     lane-chunks of Bc cells.  Each chunk sees only a narrow SUBWINDOW
+     (offset precomputed on host, 8-row aligned), so the one-hot selection
+     that turns gather/scatter into MXU matmuls contracts over a short
+     [RVc, 128] slab instead of the whole window:
 
-Cells shared by several blocks are duplicated (few %); padded slots carry the
-sentinel position W so all their one-hot rows are empty.
+         gather:   T = x_subwindow_parts @ onehot_lo      (K = 128)
+                   x_l = sum_rows(T * onehot_hi)
+         scatter:  acc += (onehot_hi * y_parts) @ onehot_lo^T   (K = Bc)
+
+     The value operand is split into three bf16-exact terms (Mosaic matmuls
+     have no 3-pass f32 mode), and the three passes are STACKED on the
+     matmul M-dimension together with the velocity components, so every MXU
+     call has M = 3*dim*RVc (~48), K in {128, Bc} — full-width contractions.
+  4. Every (cell, row) contribution lands exactly once: a row's window
+     position is inside the OWNED slice [h*OW, (h+1)*OW) iff this block owns
+     it, and only owned rows are emitted.
+
+The operator matrix lives in "cells-on-lanes" layout A_t[j, i, c]:
+[nl, nli, nb*Bmax] with the (padded, duplicated, block-ordered) cell axis
+last — the layout batched assembly emits directly (fem/windowed_assembly)
+and the kernel tiles without any padding waste ([*, 15, 15] arrays would
+inflate 9x under TPU (8, 128) tiling).
+
+Padded cell slots carry sentinel positions (hi = RVc, lo = 128) so all their
+one-hot rows are empty.  Duplicated-cell scatters outside the owned slice are
+computed into halo accumulator rows and discarded at emit.
 """
 
 from __future__ import annotations
@@ -32,26 +50,45 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-__all__ = ["WindowedLayout", "build_windowed_layout", "windowed_matvec", "build_windows"]
+__all__ = [
+    "WindowedLayout",
+    "build_windowed_layout",
+    "build_windows",
+    "to_block_form",
+    "windowed_matvec",
+    "windowed_matvec_reference",
+    "windowed_gather",
+    "windowed_scatter",
+]
+
+_ALIGN_ROWS = 8  # subwindow offsets in whole 8-row groups (f32 sublane tile)
 
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
 class WindowedLayout:
     cell_ids: jax.Array  # [nb, Bmax] int32 original cell index (pad: 0)
-    # window-local positions [nb, k_pad, Bmax] (cells on lanes) split into
-    # 128-row / in-row parts for two-level one-hot selection
-    # (sentinel: hi = W//128, lo = 128)
+    # per-chunk REBASED window-local positions [nb, kpad, Bmax] (cells on
+    # lanes) split into 128-row / in-row parts (sentinel: hi = RVc, lo = 128)
     loc_v_hi: jax.Array
     loc_v_lo: jax.Array
     loc_p_hi: jax.Array
     loc_p_lo: jax.Array
+    # per-chunk subwindow ROW offsets into the full window [nb, nchunks]
+    offs_v: jax.Array
+    offs_p: jax.Array
     nb: int = field(metadata=dict(static=True))
     Bmax: int = field(metadata=dict(static=True))
+    Bc: int = field(metadata=dict(static=True))  # cells per lane-chunk
+    nchunks: int = field(metadata=dict(static=True))
     OWv: int = field(metadata=dict(static=True))
     OWp: int = field(metadata=dict(static=True))
     hv: int = field(metadata=dict(static=True))  # halo blocks each side (v)
     hp: int = field(metadata=dict(static=True))
+    RWv: int = field(metadata=dict(static=True))  # full window rows (padded)
+    RWp: int = field(metadata=dict(static=True))
+    RVv: int = field(metadata=dict(static=True))  # subwindow rows (v)
+    RVp: int = field(metadata=dict(static=True))
     k_v: int = field(metadata=dict(static=True))  # true scalar dofs/cell (v)
     k_p: int = field(metadata=dict(static=True))
     dim: int = field(metadata=dict(static=True))
@@ -62,6 +99,19 @@ class WindowedLayout:
     @property
     def n_u(self) -> int:
         return self.dim * self.n_vs
+
+    @property
+    def nl(self) -> int:
+        return self.dim * self.k_v + self.k_p
+
+    @property
+    def nli(self) -> int:
+        return _round_up(self.nl, 8)
+
+    @property
+    def ncd(self) -> int:
+        """Flat duplicated-and-padded cell count (lanes axis of A_t)."""
+        return self.nb * self.Bmax
 
 
 def _round_up(x: int, m: int) -> int:
@@ -94,18 +144,79 @@ def build_windowed_layout(
     return _build(cell_vdofs, cell_pdofs, n_vs, n_ps, dim, nb, OWv, OWp)
 
 
+def _halo_and_loc(cell_space_dofs, cell_ids, valid, OW, nb, max_halo=6):
+    """Halo width (whole blocks) from the ACTUAL reach of the listed cells,
+    plus absolute window-local positions [nb, Bmax, k]."""
+    dofs_b = cell_space_dofs[cell_ids].astype(np.int64)  # [nb, Bmax, k]
+    owned_lo = (np.arange(nb) * OW)[:, None, None]
+    reach_lo = np.where(valid[:, :, None], owned_lo - dofs_b, 0).max()
+    reach_hi = np.where(valid[:, :, None], dofs_b - (owned_lo + OW) + 1, 0).max()
+    h = int(max(0, -(-max(reach_lo, reach_hi) // OW)))
+    if h > max_halo:
+        raise ValueError(
+            f"halo {h} blocks exceeds limit (OW={OW}); ordering not local enough"
+        )
+    W = (2 * h + 1) * OW
+    loc = dofs_b - (owned_lo - h * OW)
+    loc[~valid] = -1  # sentinel marker (replaced after chunk rebasing)
+    if valid.any():
+        assert loc[valid].min() >= 0 and loc[valid].max() < W
+    return h, loc
+
+
+def _chunk_offsets(loc, valid, RW, Bc):
+    """Per-chunk subwindow row offsets + static subwindow row count.
+
+    loc: [nb, Bmax, k] absolute window positions (-1 invalid).
+    Returns (offs_rows [nb, nchunks] int32, RVc rows, loc_rebased)."""
+    nb, Bmax, k = loc.shape
+    nchunks = Bmax // Bc
+    lc = loc.reshape(nb, nchunks, Bc, k)
+    vc = valid.reshape(nb, nchunks, Bc)[:, :, :, None]
+    big = RW * 128
+    lo = np.where(vc, lc, big).min(axis=(2, 3))  # [nb, nchunks]
+    hi = np.where(vc, lc, -1).max(axis=(2, 3))
+    lo = np.where(lo == big, 0, lo)
+    off = (lo // (128 * _ALIGN_ROWS)) * (128 * _ALIGN_ROWS)
+    need = np.maximum(hi + 1 - off, 1)
+    Wc = min(int(_round_up(int(need.max()), 128 * _ALIGN_ROWS)), big)
+    off = np.minimum(off, big - Wc)  # clamp: both multiples of ALIGN
+    loc_r = np.where(loc >= 0, loc - off[:, :, None, None].repeat(Bc, 2).reshape(
+        nb, Bmax, 1), -1)
+    RVc = Wc // 128
+    if valid.any():
+        v3 = valid[:, :, None] & (loc >= 0)
+        assert loc_r[v3].min() >= 0 and loc_r[v3].max() < Wc
+    return (off // 128).astype(np.int32), RVc, loc_r
+
+
+def _split_hilo(loc_r, RVc, nb, Bmax):
+    """Split rebased positions into (hi, lo) with sentinel rows; pad the dof
+    axis to a multiple of 8; transpose to [nb, kpad, Bmax]."""
+    k = loc_r.shape[2]
+    kp = _round_up(k, 8)
+    out = np.full((nb, Bmax, kp), -1, dtype=np.int64)
+    out[:, :, :k] = loc_r
+    hi = np.where(out < 0, RVc, out // 128)
+    lo = np.where(out < 0, 128, out % 128)
+    return (
+        hi.astype(np.int32).transpose(0, 2, 1),
+        lo.astype(np.int32).transpose(0, 2, 1),
+    )
+
+
 def _build(cell_vdofs, cell_pdofs, n_vs, n_ps, dim, nb, OWv, OWp) -> WindowedLayout:
-    nc, nb_v = cell_vdofs.shape
-    nb_p = cell_pdofs.shape[1]
+    nc, k_v = cell_vdofs.shape
+    k_p = cell_pdofs.shape[1]
 
     # blocks touched by each cell (via owned v-dofs and p-dofs)
-    bv = cell_vdofs.astype(np.int64) // OWv  # [nc, nb_v]
+    bv = cell_vdofs.astype(np.int64) // OWv  # [nc, k_v]
     bp = cell_pdofs.astype(np.int64) // OWp
     pairs = np.unique(
         np.concatenate(
             [
-                np.stack([np.repeat(np.arange(nc), nb_v), bv.ravel()], axis=1),
-                np.stack([np.repeat(np.arange(nc), nb_p), bp.ravel()], axis=1),
+                np.stack([np.repeat(np.arange(nc), k_v), bv.ravel()], axis=1),
+                np.stack([np.repeat(np.arange(nc), k_p), bp.ravel()], axis=1),
             ]
         ),
         axis=0,
@@ -115,7 +226,7 @@ def _build(cell_vdofs, cell_pdofs, n_vs, n_ps, dim, nb, OWv, OWp) -> WindowedLay
     blocks_sorted = pairs[order, 1]
     counts = np.bincount(blocks_sorted, minlength=nb)
     # 128-multiple so in-kernel cell-chunk slices sit on lane boundaries
-    Bmax = _round_up(int(counts.max()), 128)
+    Bmax = _round_up(max(int(counts.max()), 1), 128)
 
     cell_ids = np.zeros((nb, Bmax), dtype=np.int64)
     valid = np.zeros((nb, Bmax), dtype=bool)
@@ -124,54 +235,56 @@ def _build(cell_vdofs, cell_pdofs, n_vs, n_ps, dim, nb, OWv, OWp) -> WindowedLay
     cell_ids[blocks_sorted, within] = cells_sorted
     valid[blocks_sorted, within] = True
 
-    # halo width (in whole blocks) needed per space, from the ACTUAL reach of
-    # the listed cells beyond their block's owned range
-    def halo_and_loc(cell_space_dofs, OW, max_halo=6):
-        dofs_b = cell_space_dofs[cell_ids].astype(np.int64)  # [nb, Bmax, k]
-        owned_lo = (np.arange(nb) * OW)[:, None, None]
-        reach_lo = np.where(valid[:, :, None], owned_lo - dofs_b, 0).max()
-        reach_hi = np.where(valid[:, :, None], dofs_b - (owned_lo + OW) + 1, 0).max()
-        h = int(max(0, -(-max(reach_lo, reach_hi) // OW)))
-        if h > max_halo:
-            raise ValueError(
-                f"halo {h} blocks exceeds limit (OW={OW}); ordering not local enough"
-            )
-        W = (2 * h + 1) * OW
-        loc = dofs_b - (owned_lo - h * OW)
-        loc[~valid] = W  # sentinel: matches no window position
-        assert loc[valid].min() >= 0 and loc[valid].max() < W
-        return h, loc
+    hv, loc_v = _halo_and_loc(cell_vdofs, cell_ids, valid, OWv, nb)
+    hp, loc_p = _halo_and_loc(cell_pdofs, cell_ids, valid, OWp, nb)
 
-    hv, loc_v = halo_and_loc(cell_vdofs, OWv)
-    hp, loc_p = halo_and_loc(cell_pdofs, OWp)
+    # sort cells WITHIN each block by window position so lane-chunks of Bc
+    # consecutive cells span narrow subwindows (invalid slots pushed last)
+    big = (2 * hv + 1) * OWv + 1
+    key = np.where(valid, np.where(loc_v >= 0, loc_v, big).min(axis=2), big)
+    perm = np.argsort(key, axis=1, kind="stable")  # [nb, Bmax]
+    rows = np.arange(nb)[:, None]
+    cell_ids = cell_ids[rows, perm]
+    valid = valid[rows, perm]
+    loc_v = loc_v[rows, perm]
+    loc_p = loc_p[rows, perm]
 
-    def split_hilo(loc, W):
-        # pad trailing dof axis to 8 lanes; sentinel rows match nothing
-        k = loc.shape[2]
-        kp = _round_up(k, 8)
-        out = np.full((nb, Bmax, kp), W, dtype=np.int64)
-        out[:, :, :k] = loc
-        hi = np.where(out >= W, W // 128, out // 128)
-        lo = np.where(out >= W, 128, out % 128)
-        return hi.astype(np.int32), lo.astype(np.int32)
+    # chunk size: small chunks see tighter subwindows (less selection work,
+    # the dominant MXU cost) but more grid steps; 128 wins empirically
+    Bc = 128
+    while Bmax % Bc:
+        Bc //= 2
+    nchunks = Bmax // Bc
 
-    lv_hi, lv_lo = split_hilo(loc_v, (2 * hv + 1) * OWv)
-    lp_hi, lp_lo = split_hilo(loc_p, (2 * hp + 1) * OWp)
+    RWv = _round_up((2 * hv + 1) * OWv // 128, _ALIGN_ROWS)
+    RWp = _round_up((2 * hp + 1) * OWp // 128, _ALIGN_ROWS)
+    offs_v, RVv, loc_v_r = _chunk_offsets(loc_v, valid, RWv, Bc)
+    offs_p, RVp, loc_p_r = _chunk_offsets(loc_p, valid, RWp, Bc)
+    lv_hi, lv_lo = _split_hilo(loc_v_r, RVv, nb, Bmax)
+    lp_hi, lp_lo = _split_hilo(loc_p_r, RVp, nb, Bmax)
 
     return WindowedLayout(
         cell_ids=jnp.asarray(cell_ids, dtype=jnp.int32),
-        loc_v_hi=jnp.asarray(lv_hi.transpose(0, 2, 1)),
-        loc_v_lo=jnp.asarray(lv_lo.transpose(0, 2, 1)),
-        loc_p_hi=jnp.asarray(lp_hi.transpose(0, 2, 1)),
-        loc_p_lo=jnp.asarray(lp_lo.transpose(0, 2, 1)),
+        loc_v_hi=jnp.asarray(lv_hi),
+        loc_v_lo=jnp.asarray(lv_lo),
+        loc_p_hi=jnp.asarray(lp_hi),
+        loc_p_lo=jnp.asarray(lp_lo),
+        offs_v=jnp.asarray(offs_v),
+        offs_p=jnp.asarray(offs_p),
         nb=nb,
         Bmax=Bmax,
+        Bc=Bc,
+        nchunks=nchunks,
         OWv=OWv,
         OWp=OWp,
         hv=hv,
         hp=hp,
-        k_v=nb_v,
-        k_p=nb_p,
+        RWv=RWv,
+        RWp=RWp,
+        RVv=RVv,
+        RVp=RVp,
+        k_v=k_v,
+        k_p=k_p,
         dim=dim,
         n_vs=n_vs,
         n_ps=n_ps,
@@ -209,61 +322,122 @@ def _split_spaces(x: jax.Array, lay: WindowedLayout):
     return comps, p
 
 
-def windowed_matvec(
-    lay: WindowedLayout, A_blk: jax.Array, x: jax.Array, *, interpret: bool = False
-) -> jax.Array:
-    """y = A x via the windowed Pallas kernel (no Dirichlet handling here).
-
-    A_blk: [nb, Bmax, nl, nl] cell matrices in block order (duplicated cells
-    included — e.g. ``cell_mat[lay.cell_ids]``).
-    """
-    if jax.default_backend() == "cpu" and not interpret:
-        # the Pallas TPU kernel has no CPU lowering; use the same-math
-        # reference (tests compare kernel-vs-reference separately)
-        return windowed_matvec_reference(lay, A_blk, x)
+def _all_windows(lay: WindowedLayout, x: jax.Array):
+    """Padded per-space windows [nb, RW, 128] for the kernels."""
     comps, p = _split_spaces(x, lay)
     xw = [build_windows(c, lay.nb, lay.OWv, lay.hv) for c in comps] + [
         build_windows(p, lay.nb, lay.OWp, lay.hp)
     ]
-    # cells-on-lanes: A_t[b, j, i, c] = A_blk[b, c, i, j], row dim padded to 8
-    nb, Bmax, nl = A_blk.shape[0], A_blk.shape[1], A_blk.shape[2]
-    nli = _round_up(nl, 8)
-    A_t = jnp.zeros((nb, nl, nli, Bmax), dtype=A_blk.dtype)
-    A_t = A_t.at[:, :, :nl, :].set(A_blk.transpose(0, 3, 2, 1))
-    outs = _pallas_matvec(lay, A_t, xw, interpret)
+    out = []
+    for w, RW in zip(xw, [lay.RWv] * lay.dim + [lay.RWp]):
+        if w.shape[1] != RW:
+            w = jnp.zeros((lay.nb, RW, 128), w.dtype).at[:, : w.shape[1], :].set(w)
+        out.append(w)
+    return out
+
+
+def to_block_form(lay: WindowedLayout, cell_mat: jax.Array) -> jax.Array:
+    """Natural cell matrices [nc, nl, nl] -> A_t [nl, nli, nb*Bmax].
+
+    A_t[j, i, s] = cell_mat[cell_ids_flat[s], i, j] (duplicated cells
+    included; row axis i padded to nli).  Assembly can also emit this layout
+    directly (fem/windowed_assembly) — this helper is the compatibility path.
+    """
+    nl = cell_mat.shape[1]
+    g = cell_mat[lay.cell_ids.reshape(-1)]  # [ncd, nl, nl]
+    A_t = jnp.zeros((nl, lay.nli, lay.ncd), dtype=cell_mat.dtype)
+    return A_t.at[:, :nl, :].set(g.transpose(2, 1, 0))
+
+
+def windowed_matvec(
+    lay: WindowedLayout, A_t: jax.Array, x: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """y = A x via the windowed Pallas kernel (no Dirichlet handling here).
+
+    A_t: [nl, nli, nb*Bmax] cells-on-lanes block-ordered matrices
+    (``to_block_form`` or windowed assembly output).
+    """
+    if jax.default_backend() == "cpu" and not interpret:
+        # the Pallas TPU kernel has no CPU lowering; use the same-math
+        # reference (tests compare kernel-vs-reference separately)
+        return windowed_matvec_reference(lay, A_t, x)
+    xw = _all_windows(lay, x)
+    outs = _pallas_run(lay, "matvec", A_t, xw, interpret)
     ys = [o.reshape(lay.nb * lay.OWv)[: lay.n_vs] for o in outs[: lay.dim]]
     yp = outs[-1].reshape(lay.nb * lay.OWp)[: lay.n_ps]
     return jnp.concatenate(ys + [yp])
 
 
-def _loc_from_hilo(hi, lo, W, k):
-    """Absolute window positions from (hi, lo); input [nb, kp, Bmax]."""
-    loc = hi.astype(jnp.int64) * 128 + lo.astype(jnp.int64)
-    return jnp.minimum(loc, W).transpose(0, 2, 1)[:, :, :k]
+def windowed_gather(
+    lay: WindowedLayout, x: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """X[l, s] = x[dof_l of duplicated cell s] — [nli, nb*Bmax].
+
+    The gather half of the matvec as a standalone kernel: batched assembly
+    consumes it to evaluate solution fields at (duplicated) cells without any
+    irregular HBM gather.  Padded rows l >= nl are zero.
+    """
+    if jax.default_backend() == "cpu" and not interpret:
+        return _gather_reference(lay, x)
+    xw = _all_windows(lay, x)
+    return _pallas_run(lay, "gather", None, xw, interpret)
 
 
-def windowed_matvec_reference(lay: WindowedLayout, A_blk: jax.Array, x: jax.Array) -> jax.Array:
-    """Pure-jnp same-math reference (CPU tests; uses real gathers)."""
-    comps, p = _split_spaces(x, lay)
-    WV, WP = (2 * lay.hv + 1) * lay.OWv, (2 * lay.hp + 1) * lay.OWp
-    xw_v = [
-        build_windows(c, lay.nb, lay.OWv, lay.hv).reshape(lay.nb, WV) for c in comps
-    ]
-    xw_p = build_windows(p, lay.nb, lay.OWp, lay.hp).reshape(lay.nb, WP)
-    xw_v = [jnp.concatenate([w, jnp.zeros((lay.nb, 1), w.dtype)], axis=1) for w in xw_v]
-    xw_p = jnp.concatenate([xw_p, jnp.zeros((lay.nb, 1), xw_p.dtype)], axis=1)
+def windowed_scatter(
+    lay: WindowedLayout, R: jax.Array, *, interpret: bool = False
+) -> jax.Array:
+    """y = sum_cells P_c^T R_c for per-cell row values R [>=nl, nb*Bmax].
 
-    lv = _loc_from_hilo(lay.loc_v_hi, lay.loc_v_lo, WV, lay.k_v)
-    lp = _loc_from_hilo(lay.loc_p_hi, lay.loc_p_lo, WP, lay.k_p)
-    xloc = jnp.concatenate(
-        [jnp.take_along_axis(w[:, None, :].repeat(lay.Bmax, 1), lv, axis=2) for w in xw_v]
-        + [jnp.take_along_axis(xw_p[:, None, :].repeat(lay.Bmax, 1), lp, axis=2)],
-        axis=2,
-    )  # [nb, Bmax, nl]
-    yl = jnp.einsum("nbij,nbj->nbi", A_blk, xloc)
+    The scatter half of the matvec: each block accumulates only its OWNED
+    rows, so duplicated cells contribute exactly once.  Returns the padded
+    planar vector [dim*nb*OWv + nb*OWp] truncated to [n_u + n_ps].
+    """
+    if jax.default_backend() == "cpu" and not interpret:
+        return _scatter_reference(lay, R)
+    outs = _pallas_run(lay, "scatter", R, None, interpret)
+    ys = [o.reshape(lay.nb * lay.OWv)[: lay.n_vs] for o in outs[: lay.dim]]
+    yp = outs[-1].reshape(lay.nb * lay.OWp)[: lay.n_ps]
+    return jnp.concatenate(ys + [yp])
+
+
+# ---------------------------------------------------------------------------
+# pure-jnp references (CPU tests / CPU fallback)
+# ---------------------------------------------------------------------------
+
+
+def _abs_loc(lay: WindowedLayout, hi, lo, offs, RVc, RW, k):
+    """Absolute window positions [nb, Bmax, k] from rebased (hi, lo) + offs;
+    sentinel slots map to RW*128 (one past the padded window)."""
+    h = hi.transpose(0, 2, 1)[:, :, :k].astype(jnp.int32)
+    l = lo.transpose(0, 2, 1)[:, :, :k].astype(jnp.int32)
+    off = jnp.repeat(offs, lay.Bc, axis=1)[:, :, None]  # [nb, Bmax, 1]
+    loc = (off + h) * 128 + l
+    return jnp.where((h >= RVc) | (l >= 128), RW * 128, loc)
+
+
+def _gather_reference(lay: WindowedLayout, x: jax.Array) -> jax.Array:
+    xw = _all_windows(lay, x)
+    lv = _abs_loc(lay, lay.loc_v_hi, lay.loc_v_lo, lay.offs_v, lay.RVv, lay.RWv, lay.k_v)
+    lp = _abs_loc(lay, lay.loc_p_hi, lay.loc_p_lo, lay.offs_p, lay.RVp, lay.RWp, lay.k_p)
+    cols = []
+    for comp in range(lay.dim):
+        w = xw[comp].reshape(lay.nb, -1)
+        w = jnp.concatenate([w, jnp.zeros((lay.nb, 1), w.dtype)], axis=1)
+        cols.append(jnp.take_along_axis(w[:, None, :].repeat(lay.Bmax, 1), lv, axis=2))
+    wp = xw[-1].reshape(lay.nb, -1)
+    wp = jnp.concatenate([wp, jnp.zeros((lay.nb, 1), wp.dtype)], axis=1)
+    cols.append(jnp.take_along_axis(wp[:, None, :].repeat(lay.Bmax, 1), lp, axis=2))
+    X = jnp.concatenate(cols, axis=2)  # [nb, Bmax, nl]
+    Xp = jnp.zeros((lay.nli, lay.ncd), dtype=x.dtype)
+    return Xp.at[: lay.nl, :].set(X.reshape(lay.ncd, lay.nl).T)
+
+
+def _scatter_reference(lay: WindowedLayout, R: jax.Array) -> jax.Array:
+    lv = _abs_loc(lay, lay.loc_v_hi, lay.loc_v_lo, lay.offs_v, lay.RVv, lay.RWv, lay.k_v)
+    lp = _abs_loc(lay, lay.loc_p_hi, lay.loc_p_lo, lay.offs_p, lay.RVp, lay.RWp, lay.k_p)
+    Rn = R[: lay.nl].T.reshape(lay.nb, lay.Bmax, lay.nl)
 
     def scatter_space(loc, vals, OW, h, n):
-        # vals [nb, Bmax, k]; keep owned rows only
         owned = (loc >= h * OW) & (loc < (h + 1) * OW)
         gidx = jnp.arange(lay.nb)[:, None, None] * OW + (loc - h * OW)
         gidx = jnp.where(owned, gidx, lay.nb * OW)
@@ -271,144 +445,243 @@ def windowed_matvec_reference(lay: WindowedLayout, A_blk: jax.Array, x: jax.Arra
         out = out.at[gidx.reshape(-1)].add(vals.reshape(-1))
         return out[: lay.nb * OW][:n]
 
-    nb_v = lay.k_v
     ys = [
-        scatter_space(lv, yl[:, :, c * nb_v : (c + 1) * nb_v], lay.OWv, lay.hv, lay.n_vs)
+        scatter_space(
+            lv, Rn[:, :, c * lay.k_v : (c + 1) * lay.k_v], lay.OWv, lay.hv, lay.n_vs
+        )
         for c in range(lay.dim)
     ]
-    yp = scatter_space(lp, yl[:, :, lay.dim * nb_v :], lay.OWp, lay.hp, lay.n_ps)
+    yp = scatter_space(lp, Rn[:, :, lay.dim * lay.k_v :], lay.OWp, lay.hp, lay.n_ps)
     return jnp.concatenate(ys + [yp])
 
 
-def _pallas_matvec(lay: WindowedLayout, A_t, xw, interpret):
+def windowed_matvec_reference(lay: WindowedLayout, A_t: jax.Array, x: jax.Array) -> jax.Array:
+    """Pure-jnp same-math reference (CPU tests; uses real gathers)."""
+    X = _gather_reference(lay, x)  # [nli, ncd]
+    yl = jnp.einsum("jis,js->is", A_t[:, : lay.nl, :], X[: lay.nl])
+    return _scatter_reference(lay, yl)
+
+
+# ---------------------------------------------------------------------------
+# the Pallas kernels
+# ---------------------------------------------------------------------------
+
+
+def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
-    dim, nb, Bmax = lay.dim, lay.nb, lay.Bmax
-    nb_v, nb_p = lay.k_v, lay.k_p
+    dim, nb, Bc, nchunks = lay.dim, lay.nb, lay.Bc, lay.nchunks
+    k_v, k_p, nl, nli = lay.k_v, lay.k_p, lay.nl, lay.nli
+    RVv, RVp, RWv, RWp = lay.RVv, lay.RVp, lay.RWv, lay.RWp
     kvp = lay.loc_v_hi.shape[1]
     kpp = lay.loc_p_hi.shape[1]
-    nl = dim * nb_v + nb_p
-    nli = A_t.shape[2]
-    WV, WP = (2 * lay.hv + 1) * lay.OWv, (2 * lay.hp + 1) * lay.OWp
-    RV, RP = _round_up(WV // 128, 8), _round_up(WP // 128, 8)
-    dtype = A_t.dtype
+    if mode == "matvec":
+        dtype = A_or_R.dtype
+    elif mode == "scatter":
+        dtype = A_or_R.dtype
+    else:
+        dtype = xw[0].dtype
+    owr_v, owr_p = lay.OWv // 128, lay.OWp // 128
 
-    # cells are processed in lane-chunks of Bc via a second grid dimension so
-    # VMEM holds only [nl, nli, Bc] of A at a time (3D cells are 34x34);
-    # per-block window accumulators live in scratch across the chunk steps
-    # (the TPU grid is sequential, innermost dimension fastest).
-    Bc = 256
-    while Bmax % Bc:
-        Bc //= 2
-    nchunks = Bmax // Bc
+    # masks and bf16-exact value parts are stored/multiplied in bf16 (half the
+    # VPU cost); every dot accumulates in f32 via preferred_element_type
+    mdt = jnp.bfloat16 if dtype == jnp.float32 else dtype
 
-    xw = [
-        jnp.zeros((lay.nb, R_, 128), w.dtype).at[:, : w.shape[1], :].set(w)
-        if w.shape[1] != R_
-        else w
-        for w, R_ in zip(xw, [RV] * dim + [RP])
-    ]
+    def _dot(a, bop, dims):
+        return jax.lax.dot_general(a, bop, dims, preferred_element_type=dtype)
 
-    def sel_dot(a, b, dims, split_arg=0):
-        """f32-faithful selection matmul in 3 bf16 passes (Mosaic has no
-        HIGH precision): split the VALUE operand into bf16-exact terms; the
-        one-hot operand is 0/1 and thus bf16-exact, so each DEFAULT-precision
-        pass is lossless and the sum reconstructs the f32 product."""
-        v = a if split_arg == 0 else b
+    def split3(v):
+        """Three bf16-exact parts of an f32 value (lossless split)."""
         t1 = v.astype(jnp.bfloat16).astype(dtype)
         r = v - t1
         t2 = r.astype(jnp.bfloat16).astype(dtype)
-        t3 = r - t2
-        out = None
-        for t in (t1, t2, t3):
-            ops_ = (t, b) if split_arg == 0 else (a, t)
-            d = jax.lax.dot_general(*ops_, dims, preferred_element_type=dtype)
-            out = d if out is None else out + d
-        return out
+        return t1.astype(mdt), t2.astype(mdt), (r - t2).astype(mdt)
 
-    def kernel(lvh_ref, lvl_ref, lph_ref, lpl_ref, A_ref, *rest):
-        x_refs = rest[: dim + 1]
-        y_refs = rest[dim + 1 : 2 * (dim + 1)]
-        acc_refs = rest[2 * (dim + 1) :]
+    def kernel(offv_ref, offp_ref, lvh_ref, lvl_ref, lph_ref, lpl_ref, *rest):
+        i_r = 0
+        A_ref = R_ref = None
+        x_refs = y_refs = acc_refs = ()
+        if mode == "matvec":
+            A_ref, i_r = rest[0], 1
+        if mode == "scatter":
+            R_ref, i_r = rest[0], 1
+        if mode in ("matvec", "gather"):
+            x_refs = rest[i_r : i_r + dim + 1]
+            i_r += dim + 1
+        if mode == "gather":
+            X_ref = rest[i_r]
+        else:
+            y_refs = rest[i_r : i_r + dim + 1]
+            acc_refs = rest[i_r + dim + 1 :]
+        b = pl.program_id(0)
         c = pl.program_id(1)
+        offrv = pl.multiple_of(offv_ref[b, c], _ALIGN_ROWS)
+        offrp = pl.multiple_of(offp_ref[b, c], _ALIGN_ROWS)
 
-        @pl.when(c == 0)
-        def _zero():
-            for r in acc_refs:
-                r[:] = jnp.zeros_like(r)
-
-        def hilo(h_ref, l_ref, l, R):
+        def hi_onehot(h_ref, l, RVc):
             hi = h_ref[0, l : l + 1, :]  # [1, Bc]
-            lo = l_ref[0, l : l + 1, :]
-            ioh = jax.lax.broadcasted_iota(jnp.int32, (R, Bc), 0)
-            iol = jax.lax.broadcasted_iota(jnp.int32, (128, Bc), 0)
-            return (hi == ioh).astype(dtype), (lo == iol).astype(dtype)
+            ioh = jax.lax.broadcasted_iota(jnp.int32, (RVc, Bc), 0)
+            return (hi == ioh).astype(mdt)
 
-        # gather + local row accumulation: yl[i, cell] = sum_j A[j,i,cell] x_j
-        yl = jnp.zeros((nli, Bc), dtype=dtype)
-        for l in range(nb_v):
-            ohh, ohl = hilo(lvh_ref, lvl_ref, l, RV)
-            for comp in range(dim):
-                M = sel_dot(
-                    x_refs[comp][0], ohh, (((0,), (0,)), ((), ()))
-                )  # [128, Bc]
-                xv = (M * ohl).sum(axis=0, keepdims=True)  # [1, Bc]
-                yl = yl + A_ref[0, comp * nb_v + l] * xv
-        for l in range(nb_p):
-            ohh, ohl = hilo(lph_ref, lpl_ref, l, RP)
-            M = sel_dot(x_refs[dim][0], ohh, (((0,), (0,)), ((), ())))
-            xv = (M * ohl).sum(axis=0, keepdims=True)
-            yl = yl + A_ref[0, dim * nb_v + l] * xv
+        ohh_v = [hi_onehot(lvh_ref, l, RVv) for l in range(k_v)]
+        ohh_p = [hi_onehot(lph_ref, l, RVp) for l in range(k_p)]
 
-        # scatter owned rows into the window accumulators
-        for l in range(nb_v):
-            ohh, ohl = hilo(lvh_ref, lvl_ref, l, RV)
+        # lo one-hots for every local dof, concatenated on lanes so the whole
+        # lo-selection of a space is ONE MXU dot per phase
+        iol = jax.lax.broadcasted_iota(jnp.int32, (128, Bc), 0)
+        OHL_v = jnp.concatenate(
+            [(lvl_ref[0, l : l + 1, :] == iol).astype(mdt) for l in range(k_v)],
+            axis=1,
+        )  # [128, k_v*Bc]
+        OHL_p = jnp.concatenate(
+            [(lpl_ref[0, l : l + 1, :] == iol).astype(mdt) for l in range(k_p)],
+            axis=1,
+        )
+
+        # ---- gather phase -------------------------------------------------
+        yl = None
+        if mode in ("matvec", "gather"):
+            # bf16-exact parts of the subwindow slabs stacked on rows:
+            # [dim*3*RVc, 128] — pass/component stacking raises the dot M-dim
+            parts_v = []
             for comp in range(dim):
-                yrow = yl[comp * nb_v + l : comp * nb_v + l + 1, :]  # [1, Bc]
-                acc_refs[comp][:] += sel_dot(
-                    ohh, ohl * yrow, (((1,), (1,)), ((), ())), split_arg=1
-                )
-        for l in range(nb_p):
-            ohh, ohl = hilo(lph_ref, lpl_ref, l, RP)
-            yrow = yl[dim * nb_v + l : dim * nb_v + l + 1, :]
-            acc_refs[dim][:] += sel_dot(
-                ohh, ohl * yrow, (((1,), (1,)), ((), ())), split_arg=1
+                parts_v.extend(split3(x_refs[comp][0, pl.ds(offrv, RVv), :]))
+            xstack_v = jnp.concatenate(parts_v, axis=0)
+            xstack_p = jnp.concatenate(
+                list(split3(x_refs[dim][0, pl.ds(offrp, RVp), :])), axis=0
             )
 
-        @pl.when(c == nchunks - 1)
-        def _emit():
-            ov, op_ = lay.OWv // 128, lay.OWp // 128
-            for comp in range(dim):
-                y_refs[comp][0] = acc_refs[comp][lay.hv * ov : (lay.hv + 1) * ov, :]
-            y_refs[dim][0] = acc_refs[dim][lay.hp * op_ : (lay.hp + 1) * op_, :]
+            T_v = _dot(xstack_v, OHL_v, (((1,), (0,)), ((), ())))  # [dim*3*RVv, k_v*Bc]
+            T_p = _dot(xstack_p, OHL_p, (((1,), (0,)), ((), ())))
 
-    in_specs = [
-        pl.BlockSpec((1, kvp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kvp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kpp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, kpp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, nl, nli, Bc), lambda b, c: (b, 0, 0, c), memory_space=pltpu.VMEM),
-    ]
-    for _ in range(dim):
-        in_specs.append(
-            pl.BlockSpec((1, RV, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
-        )
-    in_specs.append(
-        pl.BlockSpec((1, RP, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+            if mode == "matvec":
+                yl = jnp.zeros((nli, Bc), dtype=dtype)
+
+            def xval(T, l, comp, RVc, ohh):
+                Tl = T[:, l * Bc : (l + 1) * Bc]
+                Tc = (
+                    Tl[(3 * comp + 0) * RVc : (3 * comp + 1) * RVc]
+                    + Tl[(3 * comp + 1) * RVc : (3 * comp + 2) * RVc]
+                    + Tl[(3 * comp + 2) * RVc : (3 * comp + 3) * RVc]
+                )
+                return (Tc * ohh.astype(dtype)).sum(axis=0, keepdims=True)  # [1, Bc]
+
+            for l in range(k_v):
+                for comp in range(dim):
+                    xv = xval(T_v, l, comp, RVv, ohh_v[l])
+                    if mode == "matvec":
+                        yl = yl + A_ref[comp * k_v + l] * xv
+                    else:
+                        X_ref[comp * k_v + l : comp * k_v + l + 1, :] = xv
+            for l in range(k_p):
+                xv = xval(T_p, l, 0, RVp, ohh_p[l])
+                if mode == "matvec":
+                    yl = yl + A_ref[dim * k_v + l] * xv
+                else:
+                    X_ref[dim * k_v + l : dim * k_v + l + 1, :] = xv
+            if mode == "gather":
+                for l in range(nl, nli):
+                    X_ref[l : l + 1, :] = jnp.zeros((1, Bc), dtype=dtype)
+
+        # ---- scatter phase ------------------------------------------------
+        if mode in ("matvec", "scatter"):
+            src = yl if mode == "matvec" else R_ref[:, :]
+            s1, s2, s3 = split3(src)  # [nli, Bc] each
+
+            @pl.when(c == 0)
+            def _zero():
+                for r in acc_refs:
+                    r[:, :] = jnp.zeros_like(r)
+
+            def scatter_space(k, ohh_l, OHL, RVc, ncomp, row0, kd, accs, offr):
+                # A3[(comp, pass, RVc), (l, Bc)] = ohh_l * value-part; the
+                # whole space scatter is ONE K = k*Bc dot (l-sum folded in),
+                # contracting the shared lane axis of the gather's OHL
+                cols = []
+                for l in range(k):
+                    blocks = []
+                    for comp in range(ncomp):
+                        row = row0 + comp * kd + l
+                        for t in (s1, s2, s3):
+                            blocks.append(ohh_l[l] * t[row : row + 1, :])
+                    cols.append(jnp.concatenate(blocks, axis=0))  # [ncomp*3*RVc, Bc]
+                A3 = jnp.concatenate(cols, axis=1)  # [ncomp*3*RVc, k*Bc]
+                out = _dot(A3, OHL, (((1,), (1,)), ((), ())))  # [ncomp*3*RVc, 128]
+                sl = (pl.ds(offr, RVc), slice(None))
+                for comp in range(ncomp):
+                    add = (
+                        out[(3 * comp + 0) * RVc : (3 * comp + 1) * RVc]
+                        + out[(3 * comp + 1) * RVc : (3 * comp + 2) * RVc]
+                        + out[(3 * comp + 2) * RVc : (3 * comp + 3) * RVc]
+                    )
+                    accs[comp][sl] = accs[comp][sl] + add
+
+            scatter_space(k_v, ohh_v, OHL_v, RVv, dim, 0, k_v, list(acc_refs[:dim]), offrv)
+            scatter_space(k_p, ohh_p, OHL_p, RVp, 1, dim * k_v, k_p, [acc_refs[dim]], offrp)
+
+            @pl.when(c == nchunks - 1)
+            def _emit():
+                for comp in range(dim):
+                    y_refs[comp][0] = acc_refs[comp][
+                        lay.hv * owr_v : (lay.hv + 1) * owr_v, :
+                    ]
+                y_refs[dim][0] = acc_refs[dim][lay.hp * owr_p : (lay.hp + 1) * owr_p, :]
+
+    # ---- specs -------------------------------------------------------------
+    smem = pl.BlockSpec(
+        (nb, nchunks), lambda b, c: (0, 0), memory_space=pltpu.SMEM
     )
+    in_specs = [
+        smem,
+        smem,
+        pl.BlockSpec((1, kvp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kvp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kpp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kpp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+    ]
+    inputs = [
+        lay.offs_v, lay.offs_p,
+        lay.loc_v_hi, lay.loc_v_lo, lay.loc_p_hi, lay.loc_p_lo,
+    ]
+    if mode == "matvec":
+        in_specs.append(
+            pl.BlockSpec(
+                (nl, nli, Bc), lambda b, c: (0, 0, b * nchunks + c), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(A_or_R)
+    if mode == "scatter":
+        in_specs.append(
+            pl.BlockSpec(
+                (nli, Bc), lambda b, c: (0, b * nchunks + c), memory_space=pltpu.VMEM
+            )
+        )
+        inputs.append(A_or_R)
+    if mode in ("matvec", "gather"):
+        for RW in [RWv] * dim + [RWp]:
+            in_specs.append(
+                pl.BlockSpec((1, RW, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+            )
+        inputs.extend(xw)
 
-    ov, op_ = lay.OWv // 128, lay.OWp // 128
-    out_specs = [
-        pl.BlockSpec((1, ov, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
-        for _ in range(dim)
-    ] + [pl.BlockSpec((1, op_, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)]
-    out_shape = [jax.ShapeDtypeStruct((nb, ov, 128), dtype) for _ in range(dim)] + [
-        jax.ShapeDtypeStruct((nb, op_, 128), dtype)
-    ]
-    scratch_shapes = [pltpu.VMEM((RV, 128), dtype) for _ in range(dim)] + [
-        pltpu.VMEM((RP, 128), dtype)
-    ]
+    if mode == "gather":
+        out_specs = pl.BlockSpec(
+            (nli, Bc), lambda b, c: (0, b * nchunks + c), memory_space=pltpu.VMEM
+        )
+        out_shape = jax.ShapeDtypeStruct((nli, lay.ncd), dtype)
+        scratch_shapes = []
+    else:
+        out_specs = [
+            pl.BlockSpec((1, owr_v, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+            for _ in range(dim)
+        ] + [pl.BlockSpec((1, owr_p, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((nb, owr_v, 128), dtype) for _ in range(dim)] + [
+            jax.ShapeDtypeStruct((nb, owr_p, 128), dtype)
+        ]
+        scratch_shapes = [pltpu.VMEM((RWv, 128), dtype) for _ in range(dim)] + [
+            pltpu.VMEM((RWp, 128), dtype)
+        ]
 
     return pl.pallas_call(
         kernel,
@@ -418,4 +691,4 @@ def _pallas_matvec(lay: WindowedLayout, A_t, xw, interpret):
         out_shape=out_shape,
         scratch_shapes=scratch_shapes,
         interpret=interpret,
-    )(lay.loc_v_hi, lay.loc_v_lo, lay.loc_p_hi, lay.loc_p_lo, A_t, *xw)
+    )(*inputs)

@@ -14,7 +14,11 @@ from navier_stokes_tpu.la import operators as ops
 from navier_stokes_tpu.mesh.generate import box
 from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
 from navier_stokes_tpu.models.stokes import StokesSolver
-from navier_stokes_tpu.ops.windowed import build_windowed_layout, windowed_matvec_reference
+from navier_stokes_tpu.ops.windowed import (
+    build_windowed_layout,
+    to_block_form,
+    windowed_matvec_reference,
+)
 from navier_stokes_tpu.utils.logging import RunLog
 
 NU, RHO, POUT = 0.1, 1.0, 5.0
@@ -76,7 +80,7 @@ def test_windowed_matvec_3d():
         scatter_idx=None, n=dofs.n_total,
     )
     y_flat = np.asarray(ops.matvec(op, x))
-    y_win = np.asarray(windowed_matvec_reference(lay, cell_mat[lay.cell_ids], x))
+    y_win = np.asarray(windowed_matvec_reference(lay, to_block_form(lay, cell_mat), x))
     np.testing.assert_allclose(y_win, y_flat, rtol=1e-10, atol=1e-10)
 
 

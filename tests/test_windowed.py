@@ -12,8 +12,11 @@ from navier_stokes_tpu.la import operators as ops
 from navier_stokes_tpu.mesh.generate import unit_square
 from navier_stokes_tpu.ops.windowed import (
     build_windowed_layout,
+    to_block_form,
+    windowed_gather,
     windowed_matvec,
     windowed_matvec_reference,
+    windowed_scatter,
 )
 from navier_stokes_tpu.parallel.spmd import morton_order
 
@@ -43,32 +46,57 @@ def setup():
         n=dofs.n_total,
     )
     y_flat = np.asarray(ops.matvec(op, x))
-    A_blk = cell_mat[lay.cell_ids]
-    return dofs, lay, A_blk, x, y_flat
+    A_t = to_block_form(lay, cell_mat)
+    return dofs, lay, cell_mat, A_t, x, y_flat
 
 
 def test_layout_covers_every_contribution(setup):
-    dofs, lay, A_blk, x, y_flat = setup
+    dofs, lay, cell_mat, A_t, x, y_flat = setup
     # every (cell) appears in >= 1 block; duplication is modest
     ids = np.asarray(lay.cell_ids)
     hi = np.asarray(lay.loc_v_hi)  # [nb, kpad, Bmax]
-    WV = (2 * lay.hv + 1) * lay.OWv
-    valid = hi[:, 0, :] < WV // 128
+    valid = hi[:, 0, :] < lay.RVv  # sentinel slots carry hi == RVv
     assert set(ids[valid].tolist()) == set(range(dofs.mesh.n_cells))
     assert lay.dup_factor < 3.0
 
 
 def test_reference_matches_flat(setup):
-    dofs, lay, A_blk, x, y_flat = setup
-    y_win = np.asarray(windowed_matvec_reference(lay, A_blk, x))
+    dofs, lay, cell_mat, A_t, x, y_flat = setup
+    y_win = np.asarray(windowed_matvec_reference(lay, A_t, x))
     np.testing.assert_allclose(y_win, y_flat, rtol=1e-10, atol=1e-10)
 
 
+def test_gather_scatter_roundtrip(setup):
+    """windowed_gather must return x at every cell dof; windowed_scatter of
+    per-cell rows must equal the flat segment-sum (each cell counted once)."""
+    dofs, lay, cell_mat, A_t, x, y_flat = setup
+    X = np.asarray(windowed_gather(lay, x))  # [nli, ncd]
+    ids = np.asarray(lay.cell_ids).reshape(-1)
+    valid = (np.asarray(lay.loc_v_hi)[:, 0, :] < lay.RVv).reshape(-1)
+    cd = np.concatenate(
+        [dofs.cell_vdofs + c * dofs.n_vs for c in range(dofs.dim)]
+        + [dofs.n_u + dofs.cell_pdofs],
+        axis=1,
+    )
+    expect = np.asarray(x)[cd[ids]].T  # [nl, ncd]
+    np.testing.assert_allclose(X[: lay.nl][:, valid], expect[:, valid], atol=1e-12)
+
+    rng = np.random.default_rng(7)
+    Rcell = rng.standard_normal((dofs.mesh.n_cells, lay.nl))
+    R = np.zeros((lay.nli, lay.ncd))
+    R[: lay.nl, valid] = Rcell[ids[valid]].T
+    # duplicated slots carry the same rows; scatter keeps owned rows once
+    y = np.asarray(windowed_scatter(lay, jnp.asarray(R)))
+    y_expect = np.zeros(dofs.n_total)
+    np.add.at(y_expect, cd.ravel(), Rcell.ravel())
+    np.testing.assert_allclose(y, y_expect, atol=1e-10)
+
+
 def test_pallas_interpret_matches_flat(setup):
-    dofs, lay, A_blk, x, y_flat = setup
+    dofs, lay, cell_mat, A_t, x, y_flat = setup
     y = np.asarray(
         windowed_matvec(
-            lay, jnp.asarray(A_blk, jnp.float32), jnp.asarray(x, jnp.float32),
+            lay, jnp.asarray(A_t, jnp.float32), jnp.asarray(x, jnp.float32),
             interpret=True,
         )
     )
