@@ -1,0 +1,226 @@
+"""Blocked (windowed) Navier-Stokes assembly: cells-on-lanes, zero gathers.
+
+The natural batched assembly (fem/assembly.py) mirrors the reference's cell
+loop (/root/reference/src/NavierStokesSolver.cpp:178-378) with [nc, nl, nl]
+arrays — whose (15, 15) trailing dims inflate ~9x under TPU (8, 128) tiling,
+and whose solution gathers ``u[cell_dofs]`` cost ~7 ns/element.  This module
+assembles the SAME terms directly in the windowed operator layout:
+
+  * solution values at cell dofs come from ``ops.windowed.windowed_gather``
+    (one-hot MXU selection over block windows — no HBM gather);
+  * every contraction is batched over the duplicated block-ordered cell axis
+    placed LAST (on lanes), so intermediates tile perfectly;
+  * u-independent terms (mass/dt, viscous stiffness, divergence couplings)
+    are precomputed ONCE into ``A_const`` — each Newton iteration only adds
+    the two convection blocks and the residual;
+  * the residual reduction uses ``windowed_scatter`` (owned rows only, every
+    cell counted exactly once), plus precomputed constant contributions
+    (outlet Neumann traction of cpp:314-336, forcing).
+
+Output is A_t [nl, nli, nb*Bmax] — the windowed matvec consumes it as-is.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..ops.windowed import WindowedLayout, windowed_gather, windowed_scatter
+
+_PREC = jax.lax.Precision.HIGHEST
+
+__all__ = ["WindowedAssembly", "build_windowed_assembly", "assemble_windowed"]
+
+
+@jax.tree_util.register_dataclass
+@dataclass(frozen=True)
+class WindowedAssembly:
+    """Precomputed device arrays for blocked assembly (lanes layout)."""
+
+    # tabulations (tiny, replicated)
+    N_v: jax.Array  # [k_v, nq]
+    N_p: jax.Array  # [k_p, nq]
+    NN: jax.Array  # [k_v, k_v, nq]  N_i N_j products
+    # per-duplicated-cell geometry, cells on lanes
+    Gp_t: jax.Array  # [k_v, nq, dim, ncd] physical velocity-basis gradients
+    W_t: jax.Array  # [nq, ncd] quadrature jxw (zero on padded slots is NOT
+    # needed: padded slots never scatter and their A values are never read)
+    # u-independent part of the tangent matrix, windowed layout
+    A_const: jax.Array  # [nl, nli, ncd]
+    # constant residual contributions: outlet Neumann traction + forcing
+    r_const: jax.Array  # [n_total]
+    # lumped inverse pressure mass (Schur surrogate, psi_i psi_j / nu)
+    inv_mp: jax.Array  # [n_ps]
+    dim: int = field(metadata=dict(static=True))
+
+
+def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_out,
+                            jacobian_mass_rho=False, terms="navier_stokes"):
+    """Precompute geometry + constant terms from a FEMContext (natural order).
+
+    ctx: fem.assembly.FEMContext on the SAME blocked-renumbered dofs.
+    terms: "navier_stokes" (mass/dt + viscous + divergence) or "stokes"
+    (viscous + divergence only, cpp:380-531).
+    """
+    from .assembly import _neumann_residual
+
+    dtype = ctx.jxw.dtype
+    dim, k_v, k_p = ctx.dim, ctx.nb_v, ctx.nb_p
+    nl = dim * k_v + k_p
+    nli = lay.nli
+    ids = np.asarray(lay.cell_ids).reshape(-1)  # [ncd]
+
+    N_v = np.asarray(ctx.N_v, np.float64)  # [k_v, nq]
+    G_v = np.asarray(ctx.G_v, np.float64)  # [k_v, nq, dim]
+    N_p = np.asarray(ctx.N_p, np.float64)
+    invJT = np.asarray(ctx.invJT, np.float64)[ids]  # [ncd, dim, dim]
+    W_t = np.asarray(ctx.jxw, np.float64)[ids].T  # [nq, ncd]
+
+    # physical gradients per duplicated cell: Gp_t[b, q, d, c]
+    Gp_t = np.einsum("cda,bqa->bqdc", invJT, G_v)
+    NN = np.einsum("iq,jq->ijq", N_v, N_v)
+
+    # ---- constant tangent terms (A_t[j, i, c] = cell_mat[i, j]) ----------
+    M_t = np.einsum("ijq,qc->ijc", NN, W_t)  # symmetric
+    K_t = np.einsum("iqbc,jqbc,qc->ijc", Gp_t, Gp_t, W_t)  # symmetric
+    # D[a, p, v, c] = Int (d phi_v / d x_a) psi_p
+    D = np.einsum("iqac,jq,qc->ajic", Gp_t, N_p, W_t)
+
+    A_const = np.zeros((nl, nli, len(ids)))
+    if terms == "navier_stokes":
+        mass_coef = (rho if jacobian_mass_rho else 1.0) / dt
+        diag_blk = mass_coef * M_t + (nu * rho) * K_t
+    elif terms == "stokes":
+        diag_blk = (nu * rho) * K_t
+    else:
+        raise ValueError(terms)
+    for a in range(dim):
+        sl = slice(a * k_v, (a + 1) * k_v)
+        A_const[sl, sl, :] = diag_blk
+        # B^T: row (a, i_v), col (p, j_p) -> A_t[dim*k_v + j, a*k_v + i]
+        A_const[dim * k_v : nl, sl, :] = -D[a]
+        # B: row (p, i_p), col (a, j_v) -> A_t[a*k_v + j, dim*k_v + i]
+        A_const[sl, dim * k_v : nl, :] = -D[a].transpose(1, 0, 2)
+
+    # ---- constant residual: Neumann traction + forcing -------------------
+    r_const = np.asarray(
+        jax.device_get(_neumann_residual(ctx, p_out)), np.float64
+    )
+    if np.any(np.asarray(ctx.f_q)):
+        NvW = np.einsum(
+            "iq,cq->ciq", N_v, np.asarray(ctx.jxw, np.float64)
+        )
+        r_f = np.einsum("cqa,ciq->cai", np.asarray(ctx.f_q, np.float64), NvW)
+        nc = r_f.shape[0]
+        flat = np.zeros(ctx.n_total)
+        cd = np.asarray(ctx.cell_dofs, np.int64)[:, : dim * k_v]
+        np.add.at(flat, cd.ravel(), r_f.reshape(nc, -1).ravel())
+        r_const = r_const + flat
+
+    # ---- lumped inverse pressure mass (Mp = psi_i psi_j / nu) ------------
+    jxw_nat = np.asarray(ctx.jxw, np.float64)
+    mp_rows = np.einsum("iq,cq->ci", N_p, jxw_nat) / nu  # row sums per cell
+    lumped = np.zeros(dofs.n_ps)
+    cp = np.asarray(ctx.cell_dofs[:, -k_p:], np.int64) - dofs.n_u
+    np.add.at(lumped, cp.ravel(), mp_rows.ravel())
+    inv_mp = np.where(lumped > 0, 1.0 / np.where(lumped > 0, lumped, 1.0), 1.0)
+
+    as_f = lambda a: jnp.asarray(a, dtype=dtype)
+    return WindowedAssembly(
+        N_v=as_f(N_v),
+        N_p=as_f(N_p),
+        NN=as_f(NN),
+        Gp_t=as_f(Gp_t),
+        W_t=as_f(W_t),
+        A_const=as_f(A_const),
+        r_const=as_f(r_const),
+        inv_mp=as_f(inv_mp),
+        dim=dim,
+    )
+
+
+def assemble_windowed(
+    wa: WindowedAssembly,
+    lay: WindowedLayout,
+    u: jax.Array,
+    u_old: jax.Array,
+    *,
+    dt: float,
+    nu: float,
+    rho: float,
+    convection_form: str = "reference",
+    include_continuity_residual: bool = False,
+):
+    """One Newton-tangent assembly in the windowed layout.
+
+    Returns (A_t [nl, nli, ncd], residual [n_total], diag0 [n_total]) with the
+    exact same values as fem.assembly.assemble_navier_stokes scattered flat
+    (cross-checked in tests/test_windowed_assembly.py).  Dirichlet rows are
+    NOT applied here, matching the reference's assemble-then-BC split.
+    """
+    dim, k_v, k_p = wa.dim, lay.k_v, lay.k_p
+    nl = lay.nl
+    Nv, Np, W = wa.N_v, wa.N_p, wa.W_t
+    Gp = wa.Gp_t  # [k_v, nq, dim, ncd]
+
+    X = windowed_gather(lay, u)  # [nli, ncd]
+    Xo = windowed_gather(lay, u_old)
+    Xv = X[: dim * k_v].reshape(dim, k_v, -1)
+    Xov = Xo[: dim * k_v].reshape(dim, k_v, -1)
+    Xp = X[dim * k_v : nl]
+
+    # fields at quadrature points (cells on lanes)
+    u_q = jnp.einsum("bq,dbc->dqc", Nv, Xv, precision=_PREC)
+    uo_q = jnp.einsum("bq,dbc->dqc", Nv, Xov, precision=_PREC)
+    gu_q = jnp.einsum("dbc,bqac->daqc", Xv, Gp, precision=_PREC)  # du_d/dx_a
+    p_q = jnp.einsum("bq,bc->qc", Np, Xp, precision=_PREC)
+
+    # ---- convection blocks of the tangent (cpp:259-269) -------------------
+    guW = gu_q * W  # [dim, dim, nq, ncd]
+    # C1[(b,j) col, (a,i) row] = rho gu[a,b] N_i N_j W  (symmetric in i, j)
+    C1 = rho * jnp.einsum("abqc,ijq->abijc", guW, wa.NN, precision=_PREC)
+    # C2[(a,j) col, (a,i) row] = rho (u . grad N_j) N_i W (j carries the grad)
+    adv = jnp.einsum("dqc,jqdc->jqc", u_q, Gp, precision=_PREC)
+    C2 = jnp.einsum("jqc,iq->jic", adv * W, rho * Nv, precision=_PREC)
+
+    rows = []
+    for b in range(dim):  # column component (A_t dim 0)
+        cols = [C1[a, b].transpose(1, 0, 2) for a in range(dim)]  # [j, i, c]
+        cols[b] = cols[b] + C2
+        rows.append(jnp.concatenate(cols, axis=1))  # [k_v, dim*k_v, c]
+    Cvv = jnp.concatenate(rows, axis=0)  # [dim*k_v, dim*k_v, c]
+    A_t = wa.A_const.at[: dim * k_v, : dim * k_v, :].add(Cvv)
+
+    # ---- residual (cpp:287-311), momentum rows [dim, k_v, ncd] ------------
+    if convection_form == "reference":
+        conv = jnp.einsum("dqc,daqc->aqc", u_q, gu_q, precision=_PREC)  # u^T grad u
+    elif convection_form == "standard":
+        conv = jnp.einsum("dqc,adqc->aqc", u_q, gu_q, precision=_PREC)
+    else:
+        raise ValueError(convection_form)
+    src = -(rho / dt) * (u_q - uo_q) - rho * conv  # [dim, nq, ncd]
+    r_mom = jnp.einsum("aqc,iq->aic", src * W, Nv, precision=_PREC)
+    r_mom = r_mom - (nu * rho) * jnp.einsum(
+        "abqc,iqbc->aic", guW, Gp, precision=_PREC
+    )
+    r_mom = r_mom + jnp.einsum("qc,iqac->aic", p_q * W, Gp, precision=_PREC)
+    if include_continuity_residual:
+        div_u = jnp.einsum("ddqc->qc", gu_q, precision=_PREC)
+        r_p = jnp.einsum("qc,iq->ic", div_u * W, Np, precision=_PREC)
+    else:
+        r_p = jnp.zeros((k_p, r_mom.shape[2]), dtype=r_mom.dtype)
+
+    R = jnp.zeros((lay.nli, lay.ncd), dtype=r_mom.dtype)
+    R = R.at[: dim * k_v].set(r_mom.reshape(dim * k_v, -1))
+    R = R.at[dim * k_v : nl].set(r_p)
+    residual = windowed_scatter(lay, R) + wa.r_const
+
+    # ---- raw diagonal (pre-BC, deal.II apply_boundary_values keeps it) ----
+    d_loc = A_t[jnp.arange(nl), jnp.arange(nl), :]  # [nl, ncd]
+    Dv = jnp.zeros((lay.nli, lay.ncd), dtype=A_t.dtype).at[:nl].set(d_loc)
+    diag0 = windowed_scatter(lay, Dv)
+
+    return A_t, residual, diag0

@@ -78,6 +78,7 @@ class NavierStokesSolver:
         log.print("Initializing the finite element space")
         self.dofs = make_dofs(self.mesh, cfg.degree_velocity, cfg.degree_pressure)
         self._win_layout = None
+        self._wassembly = None
         if cfg.krylov.matvec == "windowed" and self.n_devices not in (None, 1):
             log.print("  (windowed matvec not yet sharded: using flat path)")
             cfg.krylov.matvec = "flat"
@@ -147,6 +148,19 @@ class NavierStokesSolver:
                 f"  Domain decomposition: {self.n_devices} devices, "
                 f"{self.ctx.cell_dofs.shape[0]} padded cells"
             )
+        if self._win_layout is not None:
+            from ..fem.windowed_assembly import build_windowed_assembly
+
+            self._wassembly = build_windowed_assembly(
+                self.ctx,
+                self._win_layout,
+                self.dofs,
+                dt=cfg.dt,
+                nu=cfg.nu,
+                rho=cfg.rho,
+                p_out=cfg.p_out,
+                jacobian_mass_rho=cfg.jacobian_mass_rho,
+            )
 
         # Dirichlet: inlet first, walls override on shared DoFs (cpp:354-373)
         specs = [
@@ -206,7 +220,7 @@ class NavierStokesSolver:
             )
         raise ValueError(f"unknown preconditioner {kind!r}")
 
-    def _make_windowed_preconditioner(self, ctx, lay, A_t, cell_pmass, bc_diag, diag0):
+    def _make_windowed_preconditioner(self, lay, A_t, inv_mp, bc_diag, diag0):
         """Schur preconditioners built ON the windowed operator.
 
         The velocity block never needs its own kernel: with the planar layout,
@@ -222,10 +236,9 @@ class NavierStokesSolver:
             return identity()
         from ..la.cg import cg
         from ..la.preconditioners import jacobi
-        from ..ops.scatter import gather_scatter
         from ..ops.windowed import windowed_matvec
 
-        n, n_u, n_p = self.dofs.n_total, self.dofs.n_u, self.dofs.n_p
+        n, n_u = self.dofs.n_total, self.dofs.n_u
         bc_rows = self._bc_rows  # all velocity rows by construction
 
         # Jacobi diagonal of A00 with symmetric-BC replacement
@@ -233,13 +246,6 @@ class NavierStokesSolver:
         if bc_rows.shape[0]:
             diag_u = diag_u.at[bc_rows].set(bc_diag)
         pA = jacobi(diag_u)
-
-        # lumped pressure mass (positive: Mp = psi_i psi_j / nu)
-        nb_p = ctx.nb_p
-        lumped = gather_scatter(
-            cell_pmass.sum(axis=2).reshape(-1), ctx.scatter_p, xp=jnp
-        )
-        inv_mp = jnp.where(lumped > 0, 1.0 / jnp.where(lumped > 0, lumped, 1.0), 1.0)
 
         def apply_full(xu, zero_bc):
             x = jnp.zeros(n, dtype=xu.dtype).at[:n_u].set(xu)
@@ -276,23 +282,43 @@ class NavierStokesSolver:
         bc_rows = self._bc_rows
         n = self.dofs.n_total
 
-        def newton_iteration(ctx, u, u_old, bc_vals):
-            cell_dofs = ctx.cell_dofs
-            cell_mat, cell_pmass, residual = assemble_navier_stokes(
-                ctx,
-                u,
-                u_old,
-                dt=cfg.dt,
-                nu=cfg.nu,
-                rho=cfg.rho,
-                p_out=cfg.p_out,
-                convection_form=cfg.convection_form,
-                include_continuity_residual=cfg.include_continuity_residual,
-                jacobian_mass_rho=cfg.jacobian_mass_rho,
-            )
-            diag0 = ops.raw_diagonal(
-                cell_mat, cell_dofs, n, ctx.axis_name, ctx.scatter_full
-            )
+        def newton_iteration(ctx, wa, lay, u, u_old, bc_vals):
+            # ctx / wa / lay are pytree ARGUMENTS (not closures): their
+            # multi-hundred-MB arrays must be runtime parameters, not
+            # constants baked into the compiled program
+            if lay is not None:
+                # blocked assembly: constant terms precomputed, solution
+                # fields via the windowed gather kernel, residual via the
+                # windowed scatter — no flat [nc, nl, nl] buffer exists
+                from ..fem.windowed_assembly import assemble_windowed
+
+                A_t, residual, diag0 = assemble_windowed(
+                    wa,
+                    lay,
+                    u,
+                    u_old,
+                    dt=cfg.dt,
+                    nu=cfg.nu,
+                    rho=cfg.rho,
+                    convection_form=cfg.convection_form,
+                    include_continuity_residual=cfg.include_continuity_residual,
+                )
+            else:
+                cell_mat, cell_pmass, residual = assemble_navier_stokes(
+                    ctx,
+                    u,
+                    u_old,
+                    dt=cfg.dt,
+                    nu=cfg.nu,
+                    rho=cfg.rho,
+                    p_out=cfg.p_out,
+                    convection_form=cfg.convection_form,
+                    include_continuity_residual=cfg.include_continuity_residual,
+                    jacobian_mass_rho=cfg.jacobian_mass_rho,
+                )
+                diag0 = ops.raw_diagonal(
+                    cell_mat, ctx.cell_dofs, n, ctx.axis_name, ctx.scatter_full
+                )
             bc_diag = diag0[bc_rows]
             if cfg.dirichlet_mode == "increment":
                 bc_target = bc_vals - u[bc_rows]
@@ -300,22 +326,8 @@ class NavierStokesSolver:
                 bc_target = bc_vals
             residual = residual.at[bc_rows].set(bc_diag * bc_target)
             res_norm = jnp.linalg.norm(residual)
-            op = ops.ElementOperator(
-                cell_mat=cell_mat,
-                cell_dofs=cell_dofs,
-                bc_rows=bc_rows,
-                bc_diag=bc_diag,
-                scatter_idx=ctx.scatter_full,
-                n=n,
-                axis_name=ctx.axis_name,
-            )
-            if self._win_layout is not None:
-                from ..ops.windowed import to_block_form, windowed_matvec
-
-                lay = self._win_layout
-                # ONE gather+transpose per Newton iteration into the kernel's
-                # cells-on-lanes layout; every GMRES matvec reuses A_t as-is
-                A_t = to_block_form(lay, cell_mat)
+            if lay is not None:
+                from ..ops.windowed import windowed_matvec
 
                 def apply_op(v):
                     y = windowed_matvec(lay, A_t, v)
@@ -324,9 +336,18 @@ class NavierStokesSolver:
                     return y
 
                 precond = self._make_windowed_preconditioner(
-                    ctx, lay, A_t, cell_pmass, bc_diag, diag0
+                    lay, A_t, wa.inv_mp, bc_diag, diag0
                 )
             else:
+                op = ops.ElementOperator(
+                    cell_mat=cell_mat,
+                    cell_dofs=ctx.cell_dofs,
+                    bc_rows=bc_rows,
+                    bc_diag=bc_diag,
+                    scatter_idx=ctx.scatter_full,
+                    n=n,
+                    axis_name=ctx.axis_name,
+                )
 
                 def apply_op(v):
                     return ops.matvec(op, v)
@@ -356,7 +377,7 @@ class NavierStokesSolver:
             from ..parallel.spmd import context_pspecs, shard_map
 
             wrapped = shard_map(
-                newton_iteration,
+                lambda ctx, u, uo, bv: newton_iteration(ctx, None, None, u, uo, bv),
                 self.spmd_mesh,
                 in_specs=(context_pspecs(self.ctx), P(), P(), P()),
                 out_specs=(P(), P(), P()),
@@ -365,12 +386,15 @@ class NavierStokesSolver:
             self.newton_iteration_fn = lambda u, uo, bv: wrapped(ctx, u, uo, bv)
             self._newton_iteration = jax.jit(self.newton_iteration_fn, donate_argnums=(0,))
         else:
-            from functools import partial
-
+            jitted = jax.jit(newton_iteration, donate_argnums=(3,))
+            self._newton_iteration = lambda u, uo, bv: jitted(
+                self.ctx, self._wassembly, self._win_layout, u, uo, bv
+            )
             # newton_iteration_fn: un-donated jittable variant for external
             # callers that reuse their arrays (compile checks, benchmarking)
-            self.newton_iteration_fn = partial(newton_iteration, self.ctx)
-            self._newton_iteration = jax.jit(self.newton_iteration_fn, donate_argnums=(0,))
+            self.newton_iteration_fn = lambda u, uo, bv: newton_iteration(
+                self.ctx, self._wassembly, self._win_layout, u, uo, bv
+            )
 
     # ------------------------------------------------------------------
     def solve_newton(self):
