@@ -36,9 +36,17 @@ class KrylovConfig:
     # dof renumbering, done automatically; ~4-5x faster per matvec on TPU)
     matvec: str = "flat"
     cells_per_block: int = 512  # windowed-layout block size
+    chunk_cells: int = 128  # windowed-kernel lane-chunk size Bc (multiple of 128)
+    # bf16 value-split terms in the windowed Krylov operator: 3 = f32-exact,
+    # 2 ~ 2e-5 relative (ample for the rel_tol 1e-2 tangent solves), 1 = bf16.
+    # Assembly gathers/scatters always use the exact 3-term split.
+    matvec_passes: int = 2
     inner_tol: float = 1e-2  # hpp:542,599
     inner_max_iters: int = 2000  # hpp:598
     stokes_rel_tol: float = 1e-6  # cpp:538 (steady Stokes solve)
+    # tangent-solve non-convergence policy: "warn" logs a structured failure
+    # record; "raise" matches deal.II SolverControl::NoConvergence (cpp:566)
+    on_failure: str = "warn"
 
 
 @dataclass

@@ -59,6 +59,10 @@ class TaylorHoodDofs:
     # means identity (the natural [vertices | edges] order).
     v_perm: np.ndarray | None = None
     p_perm: np.ndarray | None = None
+    # real-dof masks: renumber_blocked pads n_vs/n_ps with HOLE dofs no cell
+    # references (their v_coords are (0, 0)); None means every dof is real
+    v_mask: np.ndarray | None = None
+    p_mask: np.ndarray | None = None
 
     @property
     def dim(self) -> int:
@@ -296,6 +300,12 @@ def renumber_blocked(
 
     base_v = dofs.v_perm if dofs.v_perm is not None else np.arange(dofs.n_vs)
     base_p = dofs.p_perm if dofs.p_perm is not None else np.arange(dofs.n_ps)
+
+    def real_mask(perm, n_pad):
+        m = np.zeros(n_pad, dtype=bool)
+        m[perm] = True
+        return m
+
     new = TaylorHoodDofs(
         mesh=dofs.mesh,
         element=dofs.element,
@@ -307,6 +317,8 @@ def renumber_blocked(
         p_coords=padded_coords(dofs.p_coords, p_perm, n_ps_pad),
         v_perm=v_perm[base_v],
         p_perm=p_perm[base_p],
+        v_mask=real_mask(v_perm, n_vs_pad),
+        p_mask=real_mask(p_perm, n_ps_pad),
     )
     return new, {"nb": nb, "OWv": OWv, "OWp": OWp}
 

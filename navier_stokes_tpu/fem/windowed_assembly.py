@@ -13,9 +13,10 @@ assembles the SAME terms directly in the windowed operator layout:
   * u-independent terms (mass/dt, viscous stiffness, divergence couplings)
     are precomputed ONCE into ``A_const`` — each Newton iteration only adds
     the two convection blocks and the residual;
-  * the residual reduction uses ``windowed_scatter`` (owned rows only, every
-    cell counted exactly once), plus precomputed constant contributions
-    (outlet Neumann traction of cpp:314-336, forcing).
+  * the residual reduction uses ``windowed_scatter`` (per-block window
+    accumulation merged by aligned shifted adds; every cell counted exactly
+    once), plus precomputed constant contributions (outlet Neumann traction
+    of cpp:314-336, forcing).
 
 Output is A_t [nl, nli, nb*Bmax] — the windowed matvec consumes it as-is.
 """

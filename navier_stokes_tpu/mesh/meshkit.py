@@ -21,14 +21,29 @@ _LIB = None
 _TRIED = False
 
 
+def _build(csrc_dir: str) -> bool:
+    """Build libmeshkit.so on first use (the binary is not committed)."""
+    import subprocess
+
+    try:
+        r = subprocess.run(
+            ["make", "-C", csrc_dir, "-s"],
+            capture_output=True, timeout=120,
+        )
+        return r.returncode == 0
+    except Exception:
+        return False
+
+
 def _load():
     global _LIB, _TRIED
     if _TRIED:
         return _LIB
     _TRIED = True
     here = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-    path = os.path.join(here, "csrc", "libmeshkit.so")
-    if not os.path.exists(path):
+    csrc = os.path.join(here, "csrc")
+    path = os.path.join(csrc, "libmeshkit.so")
+    if not os.path.exists(path) and not (_build(csrc) and os.path.exists(path)):
         return None
     lib = ctypes.CDLL(path)
     lib.meshkit_parse.restype = ctypes.c_void_p

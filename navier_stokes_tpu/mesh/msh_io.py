@@ -14,6 +14,7 @@ reference implementation and fallback.
 from __future__ import annotations
 
 import io
+import warnings
 
 import numpy as np
 
@@ -21,7 +22,7 @@ from .mesh import Mesh
 
 __all__ = ["read_msh", "read_msh_bytes"]
 
-# gmsh element type -> (n_nodes, dim)
+# gmsh element types we BUILD cells/facets from -> (n_nodes, dim)
 _ETYPES = {
     1: (2, 1),  # 2-node line
     2: (3, 2),  # 3-node triangle
@@ -29,17 +30,40 @@ _ETYPES = {
     15: (1, 0),  # point
 }
 
+# node counts of other common gmsh element types, needed to SKIP their
+# records while parsing (policy: unsupported types are skipped with a
+# warning, identically in the v2.2, v4.1, and native parsers)
+_SKIP_NNODES = {
+    3: 4, 5: 8, 6: 6, 7: 5, 8: 3, 9: 6, 10: 9, 11: 10, 12: 27, 13: 18,
+    14: 14, 16: 8, 17: 20, 26: 4, 27: 5, 28: 6,
+}
+
+
+def _warn_skipped(etype: int, count: int):
+    warnings.warn(
+        f"gmsh element type {etype} is not a simplex cell/facet: "
+        f"skipped {count} element(s)",
+        stacklevel=3,
+    )
+
 
 def read_msh(path: str, name: str | None = None, backend: str = "auto") -> Mesh:
     """Read a gmsh mesh.  backend: "auto" prefers the native C++ parser
-    (csrc/meshkit.cpp, ~5-10x faster) and falls back to pure Python;
-    "python" / "native" force one implementation."""
+    (csrc/meshkit.cpp, ~5-10x faster) and falls back to pure Python — also
+    when the native parse ERRORS (identical accept set is tested, but the
+    python parser is the reference implementation); "python" / "native"
+    force one implementation."""
     if backend in ("auto", "native"):
         from . import meshkit
 
         if meshkit.available():
-            return meshkit.read_msh_native(path, name=name)
-        if backend == "native":
+            try:
+                return meshkit.read_msh_native(path, name=name)
+            except Exception as e:
+                if backend == "native":
+                    raise
+                warnings.warn(f"native msh parse failed ({e}); using python parser")
+        elif backend == "native":
             raise RuntimeError("native meshkit not built (make -C csrc)")
     with open(path, "rb") as f:
         data = f.read()
@@ -88,16 +112,20 @@ def _parse_v2(sec):
     elines = sec["Elements"].strip().split("\n")
     m = int(elines[0])
     elems = []  # list of (etype, phys_tag, node_ids)
+    skipped: dict[int, int] = {}
     for ln in elines[1 : m + 1]:
         parts = ln.split()
         etype = int(parts[1])
         if etype not in _ETYPES:
+            skipped[etype] = skipped.get(etype, 0) + 1
             continue
         ntags = int(parts[2])
         phys = int(parts[3]) if ntags >= 1 else 0
         nn = _ETYPES[etype][0]
         nodes = [int(x) for x in parts[3 + ntags : 3 + ntags + nn]]
         elems.append((etype, phys, nodes))
+    for etype, cnt in skipped.items():
+        _warn_skipped(etype, cnt)
     return (node_ids, coords), elems
 
 
@@ -149,6 +177,7 @@ def _parse_v4(sec):
     e_blocks = int(next(it))
     next(it), next(it), next(it)
     elems = []
+    skipped: dict[int, int] = {}
     for _ in range(e_blocks):
         edim = int(next(it))
         etag = int(next(it))
@@ -156,12 +185,19 @@ def _parse_v4(sec):
         nb = int(next(it))
         phys = ent_phys.get((edim, etag), 0)
         if etype not in _ETYPES:
-            raise ValueError(f"unsupported gmsh element type {etype}")
+            if etype not in _SKIP_NNODES:
+                raise ValueError(f"unknown gmsh element type {etype} (cannot skip)")
+            for _ in range(nb * (1 + _SKIP_NNODES[etype])):
+                next(it)
+            skipped[etype] = skipped.get(etype, 0) + nb
+            continue
         nn = _ETYPES[etype][0]
         for _ in range(nb):
             next(it)  # element tag
             nodes = [int(next(it)) for _ in range(nn)]
             elems.append((etype, phys, nodes))
+    for etype, cnt in skipped.items():
+        _warn_skipped(etype, cnt)
     return (node_ids, coords), elems
 
 

@@ -79,10 +79,13 @@ class NavierStokesSolver:
         self.dofs = make_dofs(self.mesh, cfg.degree_velocity, cfg.degree_pressure)
         self._win_layout = None
         self._wassembly = None
-        if cfg.krylov.matvec == "windowed" and self.n_devices not in (None, 1):
+        # resolved operator mode lives on the solver, NOT written back into
+        # the caller's config (a shared config must stay reusable)
+        self._matvec = cfg.krylov.matvec
+        if self._matvec == "windowed" and self.n_devices not in (None, 1):
             log.print("  (windowed matvec not yet sharded: using flat path)")
-            cfg.krylov.matvec = "flat"
-        if cfg.krylov.matvec == "windowed":
+            self._matvec = "flat"
+        if self._matvec == "windowed":
             from ..fem.dofs import renumber_blocked
             from ..ops.windowed import build_windowed_layout
 
@@ -98,6 +101,7 @@ class NavierStokesSolver:
                         dofs_r.n_ps,
                         self.mesh.dim,
                         block_info=block_info,
+                        Bc=cfg.krylov.chunk_cells,
                     )
                     self.dofs = dofs_r
                     break
@@ -105,11 +109,11 @@ class NavierStokesSolver:
                     cpb *= 2  # halo too wide: bigger owned ranges
             if self._win_layout is None:
                 log.print("  (windowed layout infeasible for this mesh: flat path)")
-                cfg.krylov.matvec = "flat"
+                self._matvec = "flat"
             else:
                 log.print(
                     f"  Windowed operator: {self._win_layout.nb} blocks "
-                    f"(cells/block {cpb}), dup {self._win_layout.dup_factor:.2f}"
+                    f"(cells/block {cpb}), pad {self._win_layout.pad_factor:.2f}"
                 )
         elem = self.dofs.element
         log.print(f"  Velocity degree:           = {cfg.degree_velocity}")
@@ -240,6 +244,7 @@ class NavierStokesSolver:
 
         n, n_u = self.dofs.n_total, self.dofs.n_u
         bc_rows = self._bc_rows  # all velocity rows by construction
+        passes = cfg.krylov.matvec_passes
 
         # Jacobi diagonal of A00 with symmetric-BC replacement
         diag_u = diag0[:n_u]
@@ -251,7 +256,7 @@ class NavierStokesSolver:
             x = jnp.zeros(n, dtype=xu.dtype).at[:n_u].set(xu)
             if zero_bc and bc_rows.shape[0]:
                 x = x.at[bc_rows].set(0.0)
-            return windowed_matvec(lay, A_t, x)
+            return windowed_matvec(lay, A_t, x, passes=passes)
 
         def A00_mv(v):  # SPD-consistent (symmetric BC elimination)
             y = apply_full(v, zero_bc=True)[:n_u]
@@ -330,7 +335,7 @@ class NavierStokesSolver:
                 from ..ops.windowed import windowed_matvec
 
                 def apply_op(v):
-                    y = windowed_matvec(lay, A_t, v)
+                    y = windowed_matvec(lay, A_t, v, passes=cfg.krylov.matvec_passes)
                     if bc_rows.shape[0]:
                         y = y.at[bc_rows].set(bc_diag * v[bc_rows])
                     return y
@@ -363,13 +368,20 @@ class NavierStokesSolver:
                     maxiter=cfg.krylov.max_iters,
                     precond=precond,
                 )
-                return u + cfg.newton.damping * sol.x, sol.iters
+                return (
+                    u + cfg.newton.damping * sol.x,
+                    sol.iters,
+                    sol.converged,
+                    sol.residual,
+                )
 
             def skip(_):
-                return u, jnp.int32(0)
+                return u, jnp.int32(0), jnp.bool_(True), jnp.zeros((), residual.dtype)
 
-            u_new, iters = jax.lax.cond(res_norm > cfg.newton.tol, do_solve, skip, None)
-            return u_new, res_norm, iters
+            u_new, iters, kconv, kres = jax.lax.cond(
+                res_norm > cfg.newton.tol, do_solve, skip, None
+            )
+            return u_new, res_norm, iters, kconv, kres
 
         if self.spmd_mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -380,7 +392,7 @@ class NavierStokesSolver:
                 lambda ctx, u, uo, bv: newton_iteration(ctx, None, None, u, uo, bv),
                 self.spmd_mesh,
                 in_specs=(context_pspecs(self.ctx), P(), P(), P()),
-                out_specs=(P(), P(), P()),
+                out_specs=(P(), P(), P(), P(), P()),
             )
             ctx = self.ctx
             self.newton_iteration_fn = lambda u, uo, bv: wrapped(ctx, u, uo, bv)
@@ -406,7 +418,7 @@ class NavierStokesSolver:
             log.banner()
             log.print("Assembling the system")
             with self.timers("newton_iteration"):
-                self.solution, rn, gmres_iters = self._newton_iteration(
+                self.solution, rn, gmres_iters, kconv, kres = self._newton_iteration(
                     self.solution, self.solution_old, bc_vals
                 )
                 res_norm = float(rn)  # host sync inside the timed region
@@ -415,6 +427,16 @@ class NavierStokesSolver:
             if res_norm > cfg.newton.tol:
                 log.print("Solving system...")
                 log.gmres_iters(int(gmres_iters))
+                # tangent-solve failure is surfaced, not silently swallowed:
+                # deal.II's SolverControl throws NoConvergence (cpp:566-585)
+                if not bool(kconv):
+                    log.krylov_failure(int(gmres_iters), float(kres))
+                    if cfg.krylov.on_failure == "raise":
+                        raise RuntimeError(
+                            f"GMRES tangent solve did not converge: residual "
+                            f"{float(kres):.6e} after {int(gmres_iters)} iterations "
+                            f"(deal.II SolverControl::NoConvergence equivalent)"
+                        )
                 log.print("System solved!")
             else:
                 log.newton_converged()
@@ -422,6 +444,20 @@ class NavierStokesSolver:
         return n_iter, res_norm
 
     # ------------------------------------------------------------------
+    def _layout_meta(self) -> dict:
+        """Layout identifiers stored in checkpoints: a checkpoint written
+        under one DoF numbering (flat vs windowed, different block size) must
+        not silently restore into another with a coincidentally equal length."""
+        lay = self._win_layout
+        return {
+            "n_total": int(self.dofs.n_total),
+            "n_vs": int(self.dofs.n_vs),
+            "n_ps": int(self.dofs.n_ps),
+            "matvec": self._matvec,
+            "blocks": None if lay is None else [lay.nb, lay.OWv, lay.OWp],
+            "mesh_cells": int(self.mesh.n_cells),
+        }
+
     def save_checkpoint(self, path, step: int | None = None):
         """Full restart state (solution, previous step, time) — capability the
         reference lacks (SURVEY §5: its HDF5 output is visualization-only)."""
@@ -433,6 +469,7 @@ class NavierStokesSolver:
             solution_old=np.asarray(self.solution_old, np.float64),
             time=self.time,
             step=step if step is not None else getattr(self, "_step", 0),
+            config={"solver": self.cfg.to_dict(), "layout": self._layout_meta()},
         )
 
     def restore_checkpoint(self, path):
@@ -441,6 +478,19 @@ class NavierStokesSolver:
         if not self._is_setup:
             self.setup()
         d = load_checkpoint(path)
+        meta = d.get("config", {}).get("layout")
+        if meta is not None and meta != self._layout_meta():
+            mine = self._layout_meta()
+            diff = {k: (meta.get(k), mine.get(k)) for k in mine if meta.get(k) != mine.get(k)}
+            raise ValueError(
+                f"checkpoint layout mismatch (stored vs current): {diff} — "
+                "restoring would silently permute the solution field"
+            )
+        if len(d["solution"]) != self.dofs.n_total:
+            raise ValueError(
+                f"checkpoint vector length {len(d['solution'])} != solver "
+                f"n_total {self.dofs.n_total}"
+            )
         self.solution = jnp.asarray(d["solution"], dtype=self._dtype)
         self.solution_old = jnp.asarray(d["solution_old"], dtype=self._dtype)
         self.time = d["time"]
@@ -490,11 +540,27 @@ class NavierStokesSolver:
 
     # ------------------------------------------------------------------
     # convenience views
-    def velocity(self, solution=None) -> np.ndarray:
-        """[n_vs, dim] nodal velocity (P2 scalar nodes)."""
-        s = np.asarray(self.solution if solution is None else solution)
-        return s[: self.dofs.n_u].reshape(self.dofs.dim, self.dofs.n_vs).T
+    def velocity(self, solution=None, real_only: bool = False) -> np.ndarray:
+        """[n_vs, dim] nodal velocity (P2 scalar nodes).
 
-    def pressure(self, solution=None) -> np.ndarray:
+        real_only=True drops the padding HOLE dofs introduced by the blocked
+        renumbering (dofs.v_mask), pairing with velocity_coords(real_only=True).
+        """
         s = np.asarray(self.solution if solution is None else solution)
-        return s[self.dofs.n_u :]
+        v = s[: self.dofs.n_u].reshape(self.dofs.dim, self.dofs.n_vs).T
+        if real_only and self.dofs.v_mask is not None:
+            v = v[self.dofs.v_mask]
+        return v
+
+    def velocity_coords(self, real_only: bool = False) -> np.ndarray:
+        c = self.dofs.v_coords
+        if real_only and self.dofs.v_mask is not None:
+            c = c[self.dofs.v_mask]
+        return c
+
+    def pressure(self, solution=None, real_only: bool = False) -> np.ndarray:
+        s = np.asarray(self.solution if solution is None else solution)
+        p = s[self.dofs.n_u :]
+        if real_only and self.dofs.p_mask is not None:
+            p = p[self.dofs.p_mask]
+        return p

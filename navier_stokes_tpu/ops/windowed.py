@@ -1,4 +1,4 @@
-"""Windowed matrix-free operator application: the TPU-native SpMV (v2).
+"""Windowed matrix-free operator application: the TPU-native SpMV (v3).
 
 THE hot kernel of the framework (GMRES tangent solves are ~200 operator
 applications per Newton step, SURVEY §3.3).  Irregular gathers/scatters cost
@@ -12,34 +12,42 @@ dense, tileable primitives:
   2. Block b's WINDOW is the (2h+1)-block neighborhood around its owned
      range (h = measured halo reach in blocks): window extraction from the
      global vector is (2h+1) aligned reshapes — no gather.
-  3. Cells are listed (duplicated) in every block whose owned range they
-     touch, SORTED within each block by window position, and processed in
-     lane-chunks of Bc cells.  Each chunk sees only a narrow SUBWINDOW
-     (offset precomputed on host, 8-row aligned), so the one-hot selection
-     that turns gather/scatter into MXU matmuls contracts over a short
-     [RVc, 128] slab instead of the whole window:
+  3. Every cell is assigned to exactly ONE home block (the block of its
+     dof-span midpoint) — v3 change: v2 duplicated boundary cells into every
+     block they touched (1.5-2x extra matrix traffic and compute).  Cells are
+     SORTED within each block by window position and processed in lane-chunks
+     of Bc cells.  Each chunk sees only a narrow SUBWINDOW (offset
+     precomputed on host, 8-row aligned), so the one-hot selection that turns
+     gather/scatter into MXU matmuls contracts over a short [RVc, 128] slab
+     instead of the whole window:
 
          gather:   T = x_subwindow_parts @ onehot_lo      (K = 128)
                    x_l = sum_rows(T * onehot_hi)
          scatter:  acc += (onehot_hi * y_parts) @ onehot_lo^T   (K = Bc)
 
-     The value operand is split into three bf16-exact terms (Mosaic matmuls
-     have no 3-pass f32 mode), and the three passes are STACKED on the
-     matmul M-dimension together with the velocity components, so every MXU
-     call has M = 3*dim*RVc (~48), K in {128, Bc} — full-width contractions.
-  4. Every (cell, row) contribution lands exactly once: a row's window
-     position is inside the OWNED slice [h*OW, (h+1)*OW) iff this block owns
-     it, and only owned rows are emitted.
+     The value operand is split into `passes` bf16 terms (Mosaic matmuls
+     have no multi-pass f32 mode): 3 is f32-exact, 2 keeps ~2e-5 relative
+     accuracy (plenty for rel-tol 1e-2 Krylov operators), 1 is plain bf16.
+     The passes are STACKED on the matmul M-dimension together with the
+     velocity components, so every MXU call has M = passes*dim*RVc,
+     K in {128, Bc} — full-width contractions.
+  4. Each block accumulates its cells' contributions over its WHOLE window
+     (owned + halo rows); overlapping window rows of neighboring blocks are
+     then merged by (2h+1) aligned shifted adds on the [nb, OW] planar form
+     (``_combine_windows``) — the TPU-native analogue of the reference's
+     Epetra ``compress(add)`` neighbor exchange
+     (/root/reference/src/NavierStokesSolver.cpp:345-347).  Under SPMD the
+     shifted adds cross device boundaries only in the h edge blocks, so the
+     collective volume is O(halo), not O(n).
 
 The operator matrix lives in "cells-on-lanes" layout A_t[j, i, c]:
-[nl, nli, nb*Bmax] with the (padded, duplicated, block-ordered) cell axis
-last — the layout batched assembly emits directly (fem/windowed_assembly)
-and the kernel tiles without any padding waste ([*, 15, 15] arrays would
-inflate 9x under TPU (8, 128) tiling).
+[nl, nli, nb*Bmax] with the (padded, block-ordered) cell axis last — the
+layout batched assembly emits directly (fem/windowed_assembly) and the kernel
+tiles without any padding waste ([*, 15, 15] arrays would inflate 9x under
+TPU (8, 128) tiling).
 
 Padded cell slots carry sentinel positions (hi = RVc, lo = 128) so all their
-one-hot rows are empty.  Duplicated-cell scatters outside the owned slice are
-computed into halo accumulator rows and discarded at emit.
+one-hot rows are empty: they gather zeros and scatter nothing.
 """
 
 from __future__ import annotations
@@ -94,7 +102,7 @@ class WindowedLayout:
     dim: int = field(metadata=dict(static=True))
     n_vs: int = field(metadata=dict(static=True))
     n_ps: int = field(metadata=dict(static=True))
-    dup_factor: float = field(metadata=dict(static=True))
+    pad_factor: float = field(metadata=dict(static=True))  # ncd / n_cells
 
     @property
     def n_u(self) -> int:
@@ -110,7 +118,7 @@ class WindowedLayout:
 
     @property
     def ncd(self) -> int:
-        """Flat duplicated-and-padded cell count (lanes axis of A_t)."""
+        """Flat padded cell count (lanes axis of A_t)."""
         return self.nb * self.Bmax
 
 
@@ -126,6 +134,7 @@ def build_windowed_layout(
     dim: int,
     block_info: dict | None = None,
     target_ow: int = 1024,
+    Bc: int = 128,
 ) -> WindowedLayout:
     """Host-side layout construction.
 
@@ -141,7 +150,7 @@ def build_windowed_layout(
         nb = max(1, int(round(n_vs / target_ow)))
         OWv = _round_up(-(-n_vs // nb), 128)
         OWp = _round_up(-(-n_ps // nb), 128)
-    return _build(cell_vdofs, cell_pdofs, n_vs, n_ps, dim, nb, OWv, OWp)
+    return _build(cell_vdofs, cell_pdofs, n_vs, n_ps, dim, nb, OWv, OWp, Bc)
 
 
 def _halo_and_loc(cell_space_dofs, cell_ids, valid, OW, nb, max_halo=6):
@@ -205,35 +214,28 @@ def _split_hilo(loc_r, RVc, nb, Bmax):
     )
 
 
-def _build(cell_vdofs, cell_pdofs, n_vs, n_ps, dim, nb, OWv, OWp) -> WindowedLayout:
+def _build(cell_vdofs, cell_pdofs, n_vs, n_ps, dim, nb, OWv, OWp, Bc=128) -> WindowedLayout:
     nc, k_v = cell_vdofs.shape
     k_p = cell_pdofs.shape[1]
 
-    # blocks touched by each cell (via owned v-dofs and p-dofs)
-    bv = cell_vdofs.astype(np.int64) // OWv  # [nc, k_v]
-    bp = cell_pdofs.astype(np.int64) // OWp
-    pairs = np.unique(
-        np.concatenate(
-            [
-                np.stack([np.repeat(np.arange(nc), k_v), bv.ravel()], axis=1),
-                np.stack([np.repeat(np.arange(nc), k_p), bp.ravel()], axis=1),
-            ]
-        ),
-        axis=0,
-    )  # [(cell, block)] sorted by cell; need grouped by block
-    order = np.argsort(pairs[:, 1], kind="stable")
-    cells_sorted = pairs[order, 0]
-    blocks_sorted = pairs[order, 1]
-    counts = np.bincount(blocks_sorted, minlength=nb)
-    # 128-multiple so in-kernel cell-chunk slices sit on lane boundaries
-    Bmax = _round_up(max(int(counts.max()), 1), 128)
+    # home block of each cell: block containing the midpoint of its v-dof
+    # span (each cell appears exactly ONCE; halo rows it writes outside its
+    # home block's owned range are merged by _combine_windows)
+    cv = cell_vdofs.astype(np.int64)
+    mid = (cv.min(axis=1) + cv.max(axis=1)) // 2
+    home = np.clip(mid // OWv, 0, nb - 1)
 
+    counts = np.bincount(home, minlength=nb)
+    Bc = max(128, Bc)
+    Bmax = _round_up(max(int(counts.max()), 1), Bc)
+
+    order = np.argsort(home, kind="stable")
     cell_ids = np.zeros((nb, Bmax), dtype=np.int64)
     valid = np.zeros((nb, Bmax), dtype=bool)
     starts = np.concatenate([[0], np.cumsum(counts[:-1])])
-    within = np.arange(len(cells_sorted)) - starts[blocks_sorted]
-    cell_ids[blocks_sorted, within] = cells_sorted
-    valid[blocks_sorted, within] = True
+    within = np.arange(nc) - starts[home[order]]
+    cell_ids[home[order], within] = order
+    valid[home[order], within] = True
 
     hv, loc_v = _halo_and_loc(cell_vdofs, cell_ids, valid, OWv, nb)
     hp, loc_p = _halo_and_loc(cell_pdofs, cell_ids, valid, OWp, nb)
@@ -249,11 +251,6 @@ def _build(cell_vdofs, cell_pdofs, n_vs, n_ps, dim, nb, OWv, OWp) -> WindowedLay
     loc_v = loc_v[rows, perm]
     loc_p = loc_p[rows, perm]
 
-    # chunk size: small chunks see tighter subwindows (less selection work,
-    # the dominant MXU cost) but more grid steps; 128 wins empirically
-    Bc = 128
-    while Bmax % Bc:
-        Bc //= 2
     nchunks = Bmax // Bc
 
     RWv = _round_up((2 * hv + 1) * OWv // 128, _ALIGN_ROWS)
@@ -288,7 +285,7 @@ def _build(cell_vdofs, cell_pdofs, n_vs, n_ps, dim, nb, OWv, OWp) -> WindowedLay
         dim=dim,
         n_vs=n_vs,
         n_ps=n_ps,
-        dup_factor=float(len(cells_sorted)) / max(nc, 1),
+        pad_factor=float(nb * Bmax) / max(nc, 1),
     )
 
 
@@ -316,6 +313,20 @@ def build_windows(x_space: jax.Array, nb: int, OW: int, h: int = 1) -> jax.Array
     return jnp.concatenate(shifts, axis=1).reshape(nb, W // 128, 128)
 
 
+def _combine_windows(win: jax.Array, nb: int, OW: int, h: int, n: int) -> jax.Array:
+    """Merge per-block window accumulators into the global vector.
+
+    win: [nb, RW, 128] — window row j*OW + r of block b is global row
+    (b - h + j)*OW + r.  (2h+1) aligned shifted adds; under SPMD only the h
+    edge blocks of each shard cross devices (O(halo) collective volume)."""
+    W = (2 * h + 1) * OW
+    seg = win.reshape(nb, -1)[:, :W].reshape(nb, 2 * h + 1, OW)
+    acc = jnp.zeros((nb + 2 * h, OW), dtype=win.dtype)
+    for j in range(2 * h + 1):
+        acc = acc.at[j : j + nb].add(seg[:, j])
+    return acc[h : h + nb].reshape(-1)[:n]
+
+
 def _split_spaces(x: jax.Array, lay: WindowedLayout):
     comps = [x[c * lay.n_vs : (c + 1) * lay.n_vs] for c in range(lay.dim)]
     p = x[lay.n_u : lay.n_u + lay.n_ps]
@@ -339,9 +350,9 @@ def _all_windows(lay: WindowedLayout, x: jax.Array):
 def to_block_form(lay: WindowedLayout, cell_mat: jax.Array) -> jax.Array:
     """Natural cell matrices [nc, nl, nl] -> A_t [nl, nli, nb*Bmax].
 
-    A_t[j, i, s] = cell_mat[cell_ids_flat[s], i, j] (duplicated cells
-    included; row axis i padded to nli).  Assembly can also emit this layout
-    directly (fem/windowed_assembly) — this helper is the compatibility path.
+    A_t[j, i, s] = cell_mat[cell_ids_flat[s], i, j] (row axis i padded to
+    nli).  Assembly can also emit this layout directly
+    (fem/windowed_assembly) — this helper is the compatibility path.
     """
     nl = cell_mat.shape[1]
     g = cell_mat[lay.cell_ids.reshape(-1)]  # [ncd, nl, nl]
@@ -350,53 +361,60 @@ def to_block_form(lay: WindowedLayout, cell_mat: jax.Array) -> jax.Array:
 
 
 def windowed_matvec(
-    lay: WindowedLayout, A_t: jax.Array, x: jax.Array, *, interpret: bool = False
+    lay: WindowedLayout,
+    A_t: jax.Array,
+    x: jax.Array,
+    *,
+    passes: int = 3,
+    interpret: bool = False,
 ) -> jax.Array:
     """y = A x via the windowed Pallas kernel (no Dirichlet handling here).
 
     A_t: [nl, nli, nb*Bmax] cells-on-lanes block-ordered matrices
     (``to_block_form`` or windowed assembly output).
+    passes: bf16 value-split terms (3 = f32-exact, 2 ~ 2e-5 relative, 1 =
+    bf16) applied to BOTH the gathered x and the scattered products.
     """
     if jax.default_backend() == "cpu" and not interpret:
         # the Pallas TPU kernel has no CPU lowering; use the same-math
         # reference (tests compare kernel-vs-reference separately)
         return windowed_matvec_reference(lay, A_t, x)
     xw = _all_windows(lay, x)
-    outs = _pallas_run(lay, "matvec", A_t, xw, interpret)
-    ys = [o.reshape(lay.nb * lay.OWv)[: lay.n_vs] for o in outs[: lay.dim]]
-    yp = outs[-1].reshape(lay.nb * lay.OWp)[: lay.n_ps]
+    outs = _pallas_run(lay, "matvec", A_t, xw, passes, interpret)
+    ys = [_combine_windows(o, lay.nb, lay.OWv, lay.hv, lay.n_vs) for o in outs[: lay.dim]]
+    yp = _combine_windows(outs[-1], lay.nb, lay.OWp, lay.hp, lay.n_ps)
     return jnp.concatenate(ys + [yp])
 
 
 def windowed_gather(
-    lay: WindowedLayout, x: jax.Array, *, interpret: bool = False
+    lay: WindowedLayout, x: jax.Array, *, passes: int = 3, interpret: bool = False
 ) -> jax.Array:
-    """X[l, s] = x[dof_l of duplicated cell s] — [nli, nb*Bmax].
+    """X[l, s] = x[dof_l of cell s] — [nli, nb*Bmax].
 
     The gather half of the matvec as a standalone kernel: batched assembly
-    consumes it to evaluate solution fields at (duplicated) cells without any
-    irregular HBM gather.  Padded rows l >= nl are zero.
+    consumes it to evaluate solution fields at cells without any irregular
+    HBM gather.  Padded rows l >= nl are zero.
     """
     if jax.default_backend() == "cpu" and not interpret:
         return _gather_reference(lay, x)
     xw = _all_windows(lay, x)
-    return _pallas_run(lay, "gather", None, xw, interpret)
+    return _pallas_run(lay, "gather", None, xw, passes, interpret)
 
 
 def windowed_scatter(
-    lay: WindowedLayout, R: jax.Array, *, interpret: bool = False
+    lay: WindowedLayout, R: jax.Array, *, passes: int = 3, interpret: bool = False
 ) -> jax.Array:
     """y = sum_cells P_c^T R_c for per-cell row values R [>=nl, nb*Bmax].
 
-    The scatter half of the matvec: each block accumulates only its OWNED
-    rows, so duplicated cells contribute exactly once.  Returns the padded
-    planar vector [dim*nb*OWv + nb*OWp] truncated to [n_u + n_ps].
+    The scatter half of the matvec: each block accumulates its whole window,
+    then overlaps merge via ``_combine_windows``.  Returns the padded planar
+    vector [dim*nb*OWv + nb*OWp] truncated to [n_u + n_ps].
     """
     if jax.default_backend() == "cpu" and not interpret:
         return _scatter_reference(lay, R)
-    outs = _pallas_run(lay, "scatter", R, None, interpret)
-    ys = [o.reshape(lay.nb * lay.OWv)[: lay.n_vs] for o in outs[: lay.dim]]
-    yp = outs[-1].reshape(lay.nb * lay.OWp)[: lay.n_ps]
+    outs = _pallas_run(lay, "scatter", R, None, passes, interpret)
+    ys = [_combine_windows(o, lay.nb, lay.OWv, lay.hv, lay.n_vs) for o in outs[: lay.dim]]
+    yp = _combine_windows(outs[-1], lay.nb, lay.OWp, lay.hp, lay.n_ps)
     return jnp.concatenate(ys + [yp])
 
 
@@ -438,9 +456,11 @@ def _scatter_reference(lay: WindowedLayout, R: jax.Array) -> jax.Array:
     Rn = R[: lay.nl].T.reshape(lay.nb, lay.Bmax, lay.nl)
 
     def scatter_space(loc, vals, OW, h, n):
-        owned = (loc >= h * OW) & (loc < (h + 1) * OW)
-        gidx = jnp.arange(lay.nb)[:, None, None] * OW + (loc - h * OW)
-        gidx = jnp.where(owned, gidx, lay.nb * OW)
+        # window position -> global row (b - h)*OW + loc; sentinels (RW*128)
+        # and out-of-range rows map to the dump slot nb*OW
+        gidx = (jnp.arange(lay.nb)[:, None, None] - h) * OW + loc
+        valid = (loc < (2 * h + 1) * OW) & (gidx >= 0) & (gidx < lay.nb * OW)
+        gidx = jnp.where(valid, gidx, lay.nb * OW)
         out = jnp.zeros(lay.nb * OW + 1, dtype=vals.dtype)
         out = out.at[gidx.reshape(-1)].add(vals.reshape(-1))
         return out[: lay.nb * OW][:n]
@@ -467,10 +487,12 @@ def windowed_matvec_reference(lay: WindowedLayout, A_t: jax.Array, x: jax.Array)
 # ---------------------------------------------------------------------------
 
 
-def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, interpret):
+def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, passes, interpret):
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
+    P = int(passes)
+    assert P in (1, 2, 3), "passes must be 1, 2, or 3"
     dim, nb, Bc, nchunks = lay.dim, lay.nb, lay.Bc, lay.nchunks
     k_v, k_p, nl, nli = lay.k_v, lay.k_p, lay.nl, lay.nli
     RVv, RVp, RWv, RWp = lay.RVv, lay.RVp, lay.RWv, lay.RWp
@@ -482,21 +504,28 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, interpret):
         dtype = A_or_R.dtype
     else:
         dtype = xw[0].dtype
-    owr_v, owr_p = lay.OWv // 128, lay.OWp // 128
 
-    # masks and bf16-exact value parts are stored/multiplied in bf16 (half the
-    # VPU cost); every dot accumulates in f32 via preferred_element_type
+    # masks and bf16 value parts are stored/multiplied in bf16 (half the VPU
+    # cost); every dot accumulates in f32 via preferred_element_type
     mdt = jnp.bfloat16 if dtype == jnp.float32 else dtype
 
     def _dot(a, bop, dims):
         return jax.lax.dot_general(a, bop, dims, preferred_element_type=dtype)
 
-    def split3(v):
-        """Three bf16-exact parts of an f32 value (lossless split)."""
+    def splitP(v):
+        """P bf16 terms of an f32 value (P=3 is a lossless split)."""
+        if dtype != jnp.float32:
+            return [v]  # f64 path: native-precision dots (CPU tests only)
+        if P == 1:
+            return [v.astype(mdt)]
         t1 = v.astype(jnp.bfloat16).astype(dtype)
+        if P == 2:
+            return [t1.astype(mdt), (v - t1).astype(mdt)]
         r = v - t1
         t2 = r.astype(jnp.bfloat16).astype(dtype)
-        return t1.astype(mdt), t2.astype(mdt), (r - t2).astype(mdt)
+        return [t1.astype(mdt), t2.astype(mdt), (r - t2).astype(mdt)]
+
+    nP = 1 if dtype != jnp.float32 else P
 
     def kernel(offv_ref, offp_ref, lvh_ref, lvl_ref, lph_ref, lpl_ref, *rest):
         i_r = 0
@@ -542,17 +571,17 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, interpret):
         # ---- gather phase -------------------------------------------------
         yl = None
         if mode in ("matvec", "gather"):
-            # bf16-exact parts of the subwindow slabs stacked on rows:
-            # [dim*3*RVc, 128] — pass/component stacking raises the dot M-dim
+            # bf16 parts of the subwindow slabs stacked on rows:
+            # [dim*nP*RVc, 128] — pass/component stacking raises the dot M-dim
             parts_v = []
             for comp in range(dim):
-                parts_v.extend(split3(x_refs[comp][0, pl.ds(offrv, RVv), :]))
+                parts_v.extend(splitP(x_refs[comp][0, pl.ds(offrv, RVv), :]))
             xstack_v = jnp.concatenate(parts_v, axis=0)
             xstack_p = jnp.concatenate(
-                list(split3(x_refs[dim][0, pl.ds(offrp, RVp), :])), axis=0
+                list(splitP(x_refs[dim][0, pl.ds(offrp, RVp), :])), axis=0
             )
 
-            T_v = _dot(xstack_v, OHL_v, (((1,), (0,)), ((), ())))  # [dim*3*RVv, k_v*Bc]
+            T_v = _dot(xstack_v, OHL_v, (((1,), (0,)), ((), ())))  # [dim*nP*RVv, k_v*Bc]
             T_p = _dot(xstack_p, OHL_p, (((1,), (0,)), ((), ())))
 
             if mode == "matvec":
@@ -560,11 +589,9 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, interpret):
 
             def xval(T, l, comp, RVc, ohh):
                 Tl = T[:, l * Bc : (l + 1) * Bc]
-                Tc = (
-                    Tl[(3 * comp + 0) * RVc : (3 * comp + 1) * RVc]
-                    + Tl[(3 * comp + 1) * RVc : (3 * comp + 2) * RVc]
-                    + Tl[(3 * comp + 2) * RVc : (3 * comp + 3) * RVc]
-                )
+                Tc = Tl[nP * comp * RVc : (nP * comp + 1) * RVc]
+                for t in range(1, nP):
+                    Tc = Tc + Tl[(nP * comp + t) * RVc : (nP * comp + t + 1) * RVc]
                 return (Tc * ohh.astype(dtype)).sum(axis=0, keepdims=True)  # [1, Bc]
 
             for l in range(k_v):
@@ -587,7 +614,7 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, interpret):
         # ---- scatter phase ------------------------------------------------
         if mode in ("matvec", "scatter"):
             src = yl if mode == "matvec" else R_ref[:, :]
-            s1, s2, s3 = split3(src)  # [nli, Bc] each
+            sparts = splitP(src)  # nP x [nli, Bc]
 
             @pl.when(c == 0)
             def _zero():
@@ -603,18 +630,16 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, interpret):
                     blocks = []
                     for comp in range(ncomp):
                         row = row0 + comp * kd + l
-                        for t in (s1, s2, s3):
+                        for t in sparts:
                             blocks.append(ohh_l[l] * t[row : row + 1, :])
-                    cols.append(jnp.concatenate(blocks, axis=0))  # [ncomp*3*RVc, Bc]
-                A3 = jnp.concatenate(cols, axis=1)  # [ncomp*3*RVc, k*Bc]
-                out = _dot(A3, OHL, (((1,), (1,)), ((), ())))  # [ncomp*3*RVc, 128]
+                    cols.append(jnp.concatenate(blocks, axis=0))  # [ncomp*nP*RVc, Bc]
+                A3 = jnp.concatenate(cols, axis=1)  # [ncomp*nP*RVc, k*Bc]
+                out = _dot(A3, OHL, (((1,), (1,)), ((), ())))  # [ncomp*nP*RVc, 128]
                 sl = (pl.ds(offr, RVc), slice(None))
                 for comp in range(ncomp):
-                    add = (
-                        out[(3 * comp + 0) * RVc : (3 * comp + 1) * RVc]
-                        + out[(3 * comp + 1) * RVc : (3 * comp + 2) * RVc]
-                        + out[(3 * comp + 2) * RVc : (3 * comp + 3) * RVc]
-                    )
+                    add = out[nP * comp * RVc : (nP * comp + 1) * RVc]
+                    for t in range(1, nP):
+                        add = add + out[(nP * comp + t) * RVc : (nP * comp + t + 1) * RVc]
                     accs[comp][sl] = accs[comp][sl] + add
 
             scatter_space(k_v, ohh_v, OHL_v, RVv, dim, 0, k_v, list(acc_refs[:dim]), offrv)
@@ -623,10 +648,8 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, interpret):
             @pl.when(c == nchunks - 1)
             def _emit():
                 for comp in range(dim):
-                    y_refs[comp][0] = acc_refs[comp][
-                        lay.hv * owr_v : (lay.hv + 1) * owr_v, :
-                    ]
-                y_refs[dim][0] = acc_refs[dim][lay.hp * owr_p : (lay.hp + 1) * owr_p, :]
+                    y_refs[comp][0] = acc_refs[comp][:, :]
+                y_refs[dim][0] = acc_refs[dim][:, :]
 
     # ---- specs -------------------------------------------------------------
     smem = pl.BlockSpec(
@@ -673,11 +696,11 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, interpret):
         scratch_shapes = []
     else:
         out_specs = [
-            pl.BlockSpec((1, owr_v, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+            pl.BlockSpec((1, RWv, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
             for _ in range(dim)
-        ] + [pl.BlockSpec((1, owr_p, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)]
-        out_shape = [jax.ShapeDtypeStruct((nb, owr_v, 128), dtype) for _ in range(dim)] + [
-            jax.ShapeDtypeStruct((nb, owr_p, 128), dtype)
+        ] + [pl.BlockSpec((1, RWp, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)]
+        out_shape = [jax.ShapeDtypeStruct((nb, RWv, 128), dtype) for _ in range(dim)] + [
+            jax.ShapeDtypeStruct((nb, RWp, 128), dtype)
         ]
         scratch_shapes = [pltpu.VMEM((RWv, 128), dtype) for _ in range(dim)] + [
             pltpu.VMEM((RWp, 128), dtype)

@@ -52,6 +52,22 @@ class RunLog:
         else:
             self.print(f"   {n} GMRES iterations")
 
+    def krylov_failure(self, iters: int, residual: float, system: str = "tangent"):
+        """Tangent-solve non-convergence (deal.II throws NoConvergence,
+        cpp:566-585; we surface it as a structured record + visible line)."""
+        self.records.append(
+            {
+                "event": "krylov_failure",
+                "system": system,
+                "iters": int(iters),
+                "residual": float(residual),
+            }
+        )
+        self.print(
+            f"  WARNING: {system} GMRES did NOT converge "
+            f"({iters} iterations, residual {residual:.6e})"
+        )
+
     def time_step(self, step: int, t: float):
         """cpp:668-669 format."""
         self.records.append({"event": "time_step", "step": step, "t": float(t)})

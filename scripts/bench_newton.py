@@ -36,7 +36,7 @@ def main():
     s = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False)).setup()
     lay = s._win_layout
     n = s.dofs.n_total
-    print(f"n={n} nb={lay.nb} dup={lay.dup_factor:.2f} precond={precond} inner<={inner}", flush=True)
+    print(f"n={n} nb={lay.nb} pad={lay.pad_factor:.2f} precond={precond} inner<={inner}", flush=True)
 
     u = s.solution + 0.01
     u_old = s.solution_old
