@@ -240,7 +240,7 @@ def renumber_bandwidth(dofs: TaylorHoodDofs) -> tuple[TaylorHoodDofs, np.ndarray
 
 
 def renumber_blocked(
-    dofs: TaylorHoodDofs, cells_per_block: int = 512
+    dofs: TaylorHoodDofs, cells_per_block: int = 512, nb_multiple: int = 1
 ) -> tuple[TaylorHoodDofs, dict]:
     """Block-padded locality renumbering for the windowed TPU kernels.
 
@@ -269,6 +269,10 @@ def renumber_blocked(
     cell_order = np.argsort(rcm_perm[cv].min(axis=1), kind="stable")
 
     nb = max(1, -(-nc // cells_per_block))
+    # SPMD: whole blocks are assigned to devices in contiguous runs, so nb
+    # must divide evenly (empty trailing blocks would starve a device of
+    # cells but ppermute halos still keep the math exact)
+    nb = -(-nb // nb_multiple) * nb_multiple
     cell_block = np.empty(nc, dtype=np.int64)
     cell_block[cell_order] = np.arange(nc) // (-(-nc // nb))
 

@@ -154,6 +154,7 @@ def assemble_windowed(
     rho: float,
     convection_form: str = "reference",
     include_continuity_residual: bool = False,
+    axis_name: str | None = None,
 ):
     """One Newton-tangent assembly in the windowed layout.
 
@@ -161,14 +162,18 @@ def assemble_windowed(
     exact same values as fem.assembly.assemble_navier_stokes scattered flat
     (cross-checked in tests/test_windowed_assembly.py).  Dirichlet rows are
     NOT applied here, matching the reference's assemble-then-BC split.
+
+    axis_name: inside shard_map with a LOCAL layout + block-sharded wa arrays
+    (parallel/windowed_spmd), all contractions stay local; only the window
+    gathers/scatter exchange O(halo) edge blocks.
     """
     dim, k_v, k_p = wa.dim, lay.k_v, lay.k_p
     nl = lay.nl
     Nv, Np, W = wa.N_v, wa.N_p, wa.W_t
     Gp = wa.Gp_t  # [k_v, nq, dim, ncd]
 
-    X = windowed_gather(lay, u)  # [nli, ncd]
-    Xo = windowed_gather(lay, u_old)
+    X = windowed_gather(lay, u, axis_name=axis_name)  # [nli, ncd]
+    Xo = windowed_gather(lay, u_old, axis_name=axis_name)
     Xv = X[: dim * k_v].reshape(dim, k_v, -1)
     Xov = Xo[: dim * k_v].reshape(dim, k_v, -1)
     Xp = X[dim * k_v : nl]
@@ -217,11 +222,11 @@ def assemble_windowed(
     R = jnp.zeros((lay.nli, lay.ncd), dtype=r_mom.dtype)
     R = R.at[: dim * k_v].set(r_mom.reshape(dim * k_v, -1))
     R = R.at[dim * k_v : nl].set(r_p)
-    residual = windowed_scatter(lay, R) + wa.r_const
+    residual = windowed_scatter(lay, R, axis_name=axis_name) + wa.r_const
 
     # ---- raw diagonal (pre-BC, deal.II apply_boundary_values keeps it) ----
     d_loc = A_t[jnp.arange(nl), jnp.arange(nl), :]  # [nl, ncd]
     Dv = jnp.zeros((lay.nli, lay.ncd), dtype=A_t.dtype).at[:nl].set(d_loc)
-    diag0 = windowed_scatter(lay, Dv)
+    diag0 = windowed_scatter(lay, Dv, axis_name=axis_name)
 
     return A_t, residual, diag0

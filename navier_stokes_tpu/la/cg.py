@@ -36,19 +36,30 @@ def cg(
     atol: jax.Array | float,
     maxiter: int = 2000,
     precond: Callable | None = None,
+    axis_name: str | None = None,
 ) -> CgResult:
-    """Solve SPD system to ABSOLUTE residual tolerance ||b - A x|| <= atol."""
+    """Solve SPD system to ABSOLUTE residual tolerance ||b - A x|| <= atol.
+
+    axis_name: inside shard_map with sharded vectors, every dot/norm is
+    psum-reduced over the mesh axis (the Epetra all-reduce of SURVEY L1)."""
     x0 = jnp.zeros_like(b) if x0 is None else x0
     atol = jnp.asarray(atol, dtype=b.dtype)
     M = precond or (lambda v: v)
 
+    def vdot(a, c):
+        d = jnp.vdot(a, c, precision=_PREC)
+        return jax.lax.psum(d, axis_name) if axis_name else d
+
+    def norm(v):
+        return jnp.sqrt(vdot(v, v))
+
     r0 = b - matvec(x0)
     z0 = M(r0)
-    rz0 = jnp.vdot(r0, z0, precision=_PREC)
+    rz0 = vdot(r0, z0)
 
     def cond(state):
         _, r, _, _, _, k = state
-        nrm = jnp.linalg.norm(r)
+        nrm = norm(r)
         return jnp.logical_and(
             jnp.logical_and(nrm > atol, jnp.isfinite(nrm)), k < maxiter
         )
@@ -56,7 +67,7 @@ def cg(
     def body(state):
         x, r, z, p, rz, k = state
         Ap = matvec(p)
-        pAp = jnp.vdot(p, Ap, precision=_PREC)
+        pAp = vdot(p, Ap)
         # breakdown detection: in exact SPD arithmetic pAp > 0; at extreme
         # stagnation (unreachable atol) p can overflow -> pAp Inf/NaN/<=0.
         # Freeze the state and exit instead of polluting x with 0 * Inf.
@@ -65,7 +76,7 @@ def cg(
         x = jnp.where(ok, x + alpha * p, x)
         r = jnp.where(ok, r - alpha * Ap, r)
         z = M(r)
-        rz_new = jnp.vdot(r, z, precision=_PREC)
+        rz_new = vdot(r, z)
         beta = jnp.where(
             jnp.logical_and(ok, rz != 0), rz_new / jnp.where(rz != 0, rz, 1.0), 0.0
         )
@@ -74,5 +85,5 @@ def cg(
         return x, r, z, p, rz_new, k
 
     x, r, _, _, _, k = lax.while_loop(cond, body, (x0, r0, z0, z0, rz0, jnp.int32(0)))
-    res = jnp.linalg.norm(r)
+    res = norm(r)
     return CgResult(x=x, iters=k, residual=res, converged=res <= atol)

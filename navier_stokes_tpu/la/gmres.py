@@ -46,6 +46,12 @@ def _identity(x):
     return x
 
 
+def _norm(v, axis_name):
+    if axis_name is None:
+        return jnp.linalg.norm(v)
+    return jnp.sqrt(jax.lax.psum(jnp.vdot(v, v, precision=_PREC), axis_name))
+
+
 def fgmres(
     matvec: Callable,
     b: jax.Array,
@@ -55,10 +61,14 @@ def fgmres(
     restart: int = 60,
     maxiter: int = 1000,
     precond: Callable | None = None,
+    axis_name: str | None = None,
 ) -> GmresResult:
     """Right-preconditioned flexible GMRES; stops at ||r||_2 <= atol.
 
     Everything is traceable: call under jit with `matvec`/`precond` closures.
+    axis_name: inside shard_map with sharded vectors, the CGS2 projection
+    dots and all norms psum over the mesh axis (Krylov coefficients stay
+    replicated, basis vectors stay sharded).
     """
     n = b.shape[0]
     dtype = b.dtype
@@ -71,7 +81,7 @@ def fgmres(
     def cycle(state):
         x, total_iters, prev_res, _ = state
         r = b - matvec(x)
-        beta = jnp.linalg.norm(r)
+        beta = _norm(r, axis_name)
         done0 = beta <= atol
 
         V = jnp.zeros((m + 1, n), dtype=dtype)
@@ -90,11 +100,15 @@ def fgmres(
             w = matvec(z)
             # CGS2: rows of V beyond the filled prefix are zero, so no masking
             h1 = jnp.matmul(V, w, precision=_PREC)
+            if axis_name is not None:
+                h1 = lax.psum(h1, axis_name)
             w = w - jnp.matmul(h1, V, precision=_PREC)
             h2 = jnp.matmul(V, w, precision=_PREC)
+            if axis_name is not None:
+                h2 = lax.psum(h2, axis_name)
             w = w - jnp.matmul(h2, V, precision=_PREC)
             h = h1 + h2  # [m+1]
-            hw = jnp.linalg.norm(w)
+            hw = _norm(w, axis_name)
             inv_hw = jnp.where(hw > eps_break, 1.0 / jnp.where(hw > eps_break, hw, 1.0), 0.0)
 
             # apply previous rotations (identity beyond k: cs=1, sn=0)
@@ -151,7 +165,7 @@ def fgmres(
         # would report false convergence; restarting on the true residual
         # turns the outer loop into iterative refinement.  Costs one matvec
         # per cycle (amortized over <= restart iterations).
-        res_true = jnp.linalg.norm(b - matvec(x_new))
+        res_true = _norm(b - matvec(x_new), axis_name)
         # keep the better iterate; stop on breakdown or no true headway
         better = res_true < prev_res
         x_out = jnp.where(better, x_new, x)
@@ -165,7 +179,7 @@ def fgmres(
         return jnp.logical_and(jnp.logical_and(ok, iters < maxiter), ~stalled)
 
     r0 = b - matvec(x0)
-    beta0 = jnp.linalg.norm(r0)
+    beta0 = _norm(r0, axis_name)
     state = (x0, jnp.int32(0), beta0, beta0 <= atol)
     x, iters, res, _ = lax.while_loop(cond, cycle, state)
     return GmresResult(x=x, iters=iters, residual=res, converged=res <= atol)

@@ -82,9 +82,8 @@ class NavierStokesSolver:
         # resolved operator mode lives on the solver, NOT written back into
         # the caller's config (a shared config must stay reusable)
         self._matvec = cfg.krylov.matvec
-        if self._matvec == "windowed" and self.n_devices not in (None, 1):
-            log.print("  (windowed matvec not yet sharded: using flat path)")
-            self._matvec = "flat"
+        self._dist = None  # windowed-SPMD distributed-vector layout
+        n_dev = self.n_devices or 1
         if self._matvec == "windowed":
             from ..fem.dofs import renumber_blocked
             from ..ops.windowed import build_windowed_layout
@@ -93,8 +92,10 @@ class NavierStokesSolver:
             cpb = cfg.krylov.cells_per_block
             for attempt in range(4):
                 try:
-                    dofs_r, block_info = renumber_blocked(base_dofs, cells_per_block=cpb)
-                    self._win_layout = build_windowed_layout(
+                    dofs_r, block_info = renumber_blocked(
+                        base_dofs, cells_per_block=cpb, nb_multiple=n_dev
+                    )
+                    lay = build_windowed_layout(
                         dofs_r.cell_vdofs,
                         dofs_r.cell_pdofs,
                         dofs_r.n_vs,
@@ -103,10 +104,15 @@ class NavierStokesSolver:
                         block_info=block_info,
                         Bc=cfg.krylov.chunk_cells,
                     )
+                    if n_dev > 1:
+                        from ..parallel.windowed_spmd import make_dist_layout
+
+                        self._dist = make_dist_layout(lay, n_dev)
+                    self._win_layout = lay
                     self.dofs = dofs_r
                     break
                 except ValueError:
-                    cpb *= 2  # halo too wide: bigger owned ranges
+                    cpb *= 2  # halo too wide (or too few blocks/device)
             if self._win_layout is None:
                 log.print("  (windowed layout infeasible for this mesh: flat path)")
                 self._matvec = "flat"
@@ -114,6 +120,7 @@ class NavierStokesSolver:
                 log.print(
                     f"  Windowed operator: {self._win_layout.nb} blocks "
                     f"(cells/block {cpb}), pad {self._win_layout.pad_factor:.2f}"
+                    + (f", {self._dist.nb_loc} blocks/device" if self._dist else "")
                 )
         elem = self.dofs.element
         log.print(f"  Velocity degree:           = {cfg.degree_velocity}")
@@ -141,7 +148,8 @@ class NavierStokesSolver:
             quadrature_degree=cfg.quadrature_degree,
             dtype=self._dtype,
         )
-        if self.n_devices is not None and self.n_devices > 1:
+        if self.n_devices is not None and self.n_devices > 1 and self._dist is None:
+            # flat-path domain decomposition (replicated vectors, round-1 design)
             from ..parallel.spmd import device_mesh, morton_order, pad_and_shard_context
 
             self.spmd_mesh = device_mesh(self.n_devices)
@@ -173,6 +181,26 @@ class NavierStokesSolver:
         ]
         self.dirichlet = build_dirichlet(self.dofs, specs)
         self._bc_rows = jnp.asarray(self.dirichlet.rows, dtype=jnp.int32)
+
+        if self._dist is not None:
+            # owned-range windowed SPMD: blocks sharded contiguously, state
+            # vectors in the device-major distributed layout, O(halo)
+            # ppermute exchanges inside the kernels (parallel/windowed_spmd)
+            from ..parallel import windowed_spmd as wspmd
+            from ..parallel.spmd import device_mesh
+
+            dl = self._dist
+            self.spmd_mesh = device_mesh(dl.n_dev, axis=wspmd.AXIS)
+            self._lay_sharded = wspmd.shard_layout(self._win_layout, dl, self.spmd_mesh)
+            self._wa_sharded = wspmd.shard_wa(self._wassembly, dl, self.spmd_mesh)
+            rows_planar = np.asarray(self.dirichlet.rows, dtype=np.int64)
+            self._bc_local, self._bc_dev, self._bc_slot = wspmd.localize_rows(
+                rows_planar, dl
+            )
+            log.print(
+                f"  Domain decomposition: {dl.n_dev} devices x "
+                f"{dl.nb_loc} blocks, halo {max(self._win_layout.hv, self._win_layout.hp)}"
+            )
 
         self.solution = jnp.zeros(self.dofs.n_total, dtype=self._dtype)
         self.solution_old = self.solution
@@ -224,7 +252,9 @@ class NavierStokesSolver:
             )
         raise ValueError(f"unknown preconditioner {kind!r}")
 
-    def _make_windowed_preconditioner(self, lay, A_t, inv_mp, bc_diag, diag0):
+    def _make_windowed_preconditioner(
+        self, lay, A_t, inv_mp, bc_diag, diag0, bc_rows, axis_name=None
+    ):
         """Schur preconditioners built ON the windowed operator.
 
         The velocity block never needs its own kernel: with the planar layout,
@@ -233,35 +263,43 @@ class NavierStokesSolver:
         the triangular sweep).  The pressure-mass solve uses the LUMPED mass
         inverse (row sums), the standard spectrally-equivalent Schur surrogate
         — no inner iteration at all.
+
+        With axis_name set (windowed SPMD), all vectors here are per-device
+        chunks of the distributed layout: the planar velocity slice is the
+        LOCAL [dim*nvs_loc) prefix, bc_rows are local (sentinel-padded), and
+        inner-CG reductions psum.
         """
         cfg = self.cfg
         kind = cfg.krylov.preconditioner
         if kind == "identity":
             return identity()
         from ..la.cg import cg
+        from ..la.gmres import _norm
         from ..la.preconditioners import jacobi
         from ..ops.windowed import windowed_matvec
 
-        n, n_u = self.dofs.n_total, self.dofs.n_u
-        bc_rows = self._bc_rows  # all velocity rows by construction
+        n = lay.dim * lay.n_vs + lay.n_ps  # local length under SPMD
+        n_u = lay.dim * lay.n_vs
         passes = cfg.krylov.matvec_passes
 
-        # Jacobi diagonal of A00 with symmetric-BC replacement
+        # Jacobi diagonal of A00 with symmetric-BC replacement (sentinel
+        # rows drop; bc rows are all velocity rows by construction)
         diag_u = diag0[:n_u]
         if bc_rows.shape[0]:
-            diag_u = diag_u.at[bc_rows].set(bc_diag)
+            diag_u = diag_u.at[bc_rows].set(bc_diag, mode="drop")
         pA = jacobi(diag_u)
 
         def apply_full(xu, zero_bc):
             x = jnp.zeros(n, dtype=xu.dtype).at[:n_u].set(xu)
             if zero_bc and bc_rows.shape[0]:
-                x = x.at[bc_rows].set(0.0)
-            return windowed_matvec(lay, A_t, x, passes=passes)
+                x = x.at[bc_rows].set(0.0, mode="drop")
+            return windowed_matvec(lay, A_t, x, passes=passes, axis_name=axis_name)
 
         def A00_mv(v):  # SPD-consistent (symmetric BC elimination)
             y = apply_full(v, zero_bc=True)[:n_u]
             if bc_rows.shape[0]:
-                y = y.at[bc_rows].set(bc_diag * v[bc_rows])
+                vb = v.at[bc_rows].get(mode="fill", fill_value=0.0)
+                y = y.at[bc_rows].set(bc_diag * vb, mode="drop")
             return y
 
         inner_maxiter = min(cfg.krylov.inner_max_iters, 60)
@@ -270,8 +308,8 @@ class NavierStokesSolver:
             vu, vp = v[:n_u], v[n_u:]
             du = cg(
                 A00_mv, vu,
-                atol=cfg.krylov.inner_tol * jnp.linalg.norm(vu),
-                maxiter=inner_maxiter, precond=pA,
+                atol=cfg.krylov.inner_tol * _norm(vu, axis_name),
+                maxiter=inner_maxiter, precond=pA, axis_name=axis_name,
             ).x
             if kind == "block_diagonal":
                 dp = inv_mp * vp
@@ -284,13 +322,17 @@ class NavierStokesSolver:
 
     def _build_kernels(self):
         cfg = self.cfg
-        bc_rows = self._bc_rows
         n = self.dofs.n_total
 
-        def newton_iteration(ctx, wa, lay, u, u_old, bc_vals):
+        def newton_iteration(ctx, wa, lay, u, u_old, bc_rows, bc_vals, axis_name=None):
             # ctx / wa / lay are pytree ARGUMENTS (not closures): their
             # multi-hundred-MB arrays must be runtime parameters, not
-            # constants baked into the compiled program
+            # constants baked into the compiled program.  Under windowed SPMD
+            # (axis_name set) every vector here is the device's local chunk,
+            # bc_rows/bc_vals are local sentinel-padded arrays, and the only
+            # collectives are the O(halo) ppermutes + dot psums.
+            from ..la.gmres import _norm
+
             if lay is not None:
                 # blocked assembly: constant terms precomputed, solution
                 # fields via the windowed gather kernel, residual via the
@@ -307,6 +349,7 @@ class NavierStokesSolver:
                     rho=cfg.rho,
                     convection_form=cfg.convection_form,
                     include_continuity_residual=cfg.include_continuity_residual,
+                    axis_name=axis_name,
                 )
             else:
                 cell_mat, cell_pmass, residual = assemble_navier_stokes(
@@ -324,24 +367,28 @@ class NavierStokesSolver:
                 diag0 = ops.raw_diagonal(
                     cell_mat, ctx.cell_dofs, n, ctx.axis_name, ctx.scatter_full
                 )
-            bc_diag = diag0[bc_rows]
+            bc_diag = diag0.at[bc_rows].get(mode="fill", fill_value=1.0)
             if cfg.dirichlet_mode == "increment":
-                bc_target = bc_vals - u[bc_rows]
+                bc_target = bc_vals - u.at[bc_rows].get(mode="fill", fill_value=0.0)
             else:  # "reference": delta = g verbatim (cpp:375-376)
                 bc_target = bc_vals
-            residual = residual.at[bc_rows].set(bc_diag * bc_target)
-            res_norm = jnp.linalg.norm(residual)
+            residual = residual.at[bc_rows].set(bc_diag * bc_target, mode="drop")
+            res_norm = _norm(residual, axis_name)
             if lay is not None:
                 from ..ops.windowed import windowed_matvec
 
                 def apply_op(v):
-                    y = windowed_matvec(lay, A_t, v, passes=cfg.krylov.matvec_passes)
+                    y = windowed_matvec(
+                        lay, A_t, v, passes=cfg.krylov.matvec_passes,
+                        axis_name=axis_name,
+                    )
                     if bc_rows.shape[0]:
-                        y = y.at[bc_rows].set(bc_diag * v[bc_rows])
+                        vb = v.at[bc_rows].get(mode="fill", fill_value=0.0)
+                        y = y.at[bc_rows].set(bc_diag * vb, mode="drop")
                     return y
 
                 precond = self._make_windowed_preconditioner(
-                    lay, A_t, wa.inv_mp, bc_diag, diag0
+                    lay, A_t, wa.inv_mp, bc_diag, diag0, bc_rows, axis_name
                 )
             else:
                 op = ops.ElementOperator(
@@ -367,6 +414,7 @@ class NavierStokesSolver:
                     restart=cfg.krylov.restart,
                     maxiter=cfg.krylov.max_iters,
                     precond=precond,
+                    axis_name=axis_name,
                 )
                 return (
                     u + cfg.newton.damping * sol.x,
@@ -383,13 +431,42 @@ class NavierStokesSolver:
             )
             return u_new, res_norm, iters, kconv, kres
 
-        if self.spmd_mesh is not None:
+        bc_rows = self._bc_rows
+        if self._dist is not None:
+            # owned-range windowed SPMD: the whole Newton iteration runs
+            # inside ONE shard_map over the block axis
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel import windowed_spmd as wspmd
+            from ..parallel.spmd import shard_map
+
+            lay_s, wa_s = self._lay_sharded, self._wa_sharded
+            bcl = jnp.asarray(self._bc_local)  # [n_dev, m] local rows
+            sh = P(wspmd.AXIS)
+            wrapped = shard_map(
+                lambda wa, lay, u, uo, br, bv: newton_iteration(
+                    None, wa, lay, u, uo, br[0], bv[0], axis_name=wspmd.AXIS
+                ),
+                self.spmd_mesh,
+                in_specs=(
+                    wspmd.wa_pspecs(wa_s), wspmd.layout_pspecs(lay_s),
+                    sh, sh, sh, sh,
+                ),
+                out_specs=(sh, P(), P(), P(), P()),
+            )
+            self.newton_iteration_fn = lambda u, uo, bv: wrapped(
+                wa_s, lay_s, u, uo, bcl, bv
+            )
+            self._newton_iteration = jax.jit(self.newton_iteration_fn, donate_argnums=(0,))
+        elif self.spmd_mesh is not None:
             from jax.sharding import PartitionSpec as P
 
             from ..parallel.spmd import context_pspecs, shard_map
 
             wrapped = shard_map(
-                lambda ctx, u, uo, bv: newton_iteration(ctx, None, None, u, uo, bv),
+                lambda ctx, u, uo, bv: newton_iteration(
+                    ctx, None, None, u, uo, bc_rows, bv
+                ),
                 self.spmd_mesh,
                 in_specs=(context_pspecs(self.ctx), P(), P(), P()),
                 out_specs=(P(), P(), P(), P(), P()),
@@ -398,21 +475,29 @@ class NavierStokesSolver:
             self.newton_iteration_fn = lambda u, uo, bv: wrapped(ctx, u, uo, bv)
             self._newton_iteration = jax.jit(self.newton_iteration_fn, donate_argnums=(0,))
         else:
-            jitted = jax.jit(newton_iteration, donate_argnums=(3,))
+            jitted = jax.jit(newton_iteration, donate_argnums=(3,), static_argnames=("axis_name",))
             self._newton_iteration = lambda u, uo, bv: jitted(
-                self.ctx, self._wassembly, self._win_layout, u, uo, bv
+                self.ctx, self._wassembly, self._win_layout, u, uo, bc_rows, bv
             )
             # newton_iteration_fn: un-donated jittable variant for external
             # callers that reuse their arrays (compile checks, benchmarking)
             self.newton_iteration_fn = lambda u, uo, bv: newton_iteration(
-                self.ctx, self._wassembly, self._win_layout, u, uo, bv
+                self.ctx, self._wassembly, self._win_layout, u, uo, bc_rows, bv
             )
 
     # ------------------------------------------------------------------
     def solve_newton(self):
         """Newton loop with parity logging (cpp:590-627)."""
         cfg, log = self.cfg, self.log
-        bc_vals = jnp.asarray(self.dirichlet.values(self.time), dtype=self._dtype)
+        vals = np.asarray(self.dirichlet.values(self.time))
+        if self._dist is not None:
+            from ..parallel.windowed_spmd import localize_values
+
+            vals = localize_values(
+                vals, self._bc_dev, self._bc_slot,
+                self._dist.n_dev, self._bc_local.shape[1],
+            )
+        bc_vals = jnp.asarray(vals, dtype=self._dtype)
         n_iter, res_norm = 0, cfg.newton.tol + 1
         while n_iter < cfg.newton.max_iters and res_norm > cfg.newton.tol:
             log.banner()
@@ -458,6 +543,16 @@ class NavierStokesSolver:
             "mesh_cells": int(self.mesh.n_cells),
         }
 
+    def _planar(self, x) -> np.ndarray:
+        """State vector in the PLANAR layout (identity unless windowed SPMD,
+        whose state lives in the device-major distributed layout)."""
+        x = np.asarray(jax.device_get(x))
+        if self._dist is not None:
+            from ..parallel.windowed_spmd import from_dist
+
+            x = from_dist(x, self._dist)
+        return x
+
     def save_checkpoint(self, path, step: int | None = None):
         """Full restart state (solution, previous step, time) — capability the
         reference lacks (SURVEY §5: its HDF5 output is visualization-only)."""
@@ -465,8 +560,8 @@ class NavierStokesSolver:
 
         return save_checkpoint(
             path,
-            solution=np.asarray(self.solution, np.float64),
-            solution_old=np.asarray(self.solution_old, np.float64),
+            solution=np.asarray(self._planar(self.solution), np.float64),
+            solution_old=np.asarray(self._planar(self.solution_old), np.float64),
             time=self.time,
             step=step if step is not None else getattr(self, "_step", 0),
             config={"solver": self.cfg.to_dict(), "layout": self._layout_meta()},
@@ -491,8 +586,13 @@ class NavierStokesSolver:
                 f"checkpoint vector length {len(d['solution'])} != solver "
                 f"n_total {self.dofs.n_total}"
             )
-        self.solution = jnp.asarray(d["solution"], dtype=self._dtype)
-        self.solution_old = jnp.asarray(d["solution_old"], dtype=self._dtype)
+        sol, sol_old = d["solution"], d["solution_old"]
+        if self._dist is not None:
+            from ..parallel.windowed_spmd import to_dist
+
+            sol, sol_old = to_dist(sol, self._dist), to_dist(sol_old, self._dist)
+        self.solution = jnp.asarray(sol, dtype=self._dtype)
+        self.solution_old = jnp.asarray(sol_old, dtype=self._dtype)
         self.time = d["time"]
         self._step = d["step"]
         return self
@@ -534,7 +634,7 @@ class NavierStokesSolver:
     def _output(self, step: int, t: float):
         if not self.output_hooks:
             return
-        sol = np.asarray(jax.device_get(self.solution))
+        sol = self._planar(self.solution)
         for hook in self.output_hooks:
             hook(step, t, sol)
 
@@ -546,7 +646,7 @@ class NavierStokesSolver:
         real_only=True drops the padding HOLE dofs introduced by the blocked
         renumbering (dofs.v_mask), pairing with velocity_coords(real_only=True).
         """
-        s = np.asarray(self.solution if solution is None else solution)
+        s = self._planar(self.solution if solution is None else solution)
         v = s[: self.dofs.n_u].reshape(self.dofs.dim, self.dofs.n_vs).T
         if real_only and self.dofs.v_mask is not None:
             v = v[self.dofs.v_mask]
@@ -559,7 +659,7 @@ class NavierStokesSolver:
         return c
 
     def pressure(self, solution=None, real_only: bool = False) -> np.ndarray:
-        s = np.asarray(self.solution if solution is None else solution)
+        s = self._planar(self.solution if solution is None else solution)
         p = s[self.dofs.n_u :]
         if real_only and self.dofs.p_mask is not None:
             p = p[self.dofs.p_mask]

@@ -298,32 +298,66 @@ def build_windows(x_space: jax.Array, nb: int, OW: int, h: int = 1) -> jax.Array
     """[nb, (2h+1)*OW/128, 128] sliding windows — aligned reshapes, no gather."""
     n_pad = nb * OW
     xp = jnp.zeros(n_pad, dtype=x_space.dtype).at[: x_space.shape[0]].set(x_space)
-    r = xp.reshape(nb, OW)
-    z = jnp.zeros((1, OW), dtype=x_space.dtype)
-    shifts = []
-    for s in range(-h, h + 1):
-        if s < 0:
-            shifted = jnp.concatenate([jnp.tile(z, (-s, 1)), r[:s]], axis=0)
-        elif s > 0:
-            shifted = jnp.concatenate([r[s:], jnp.tile(z, (s, 1))], axis=0)
-        else:
-            shifted = r
-        shifts.append(shifted)
+    return _windows_from_ext(_pad_edges(xp.reshape(nb, OW), h), nb, OW, h)
+
+
+def _pad_edges(r: jax.Array, h: int) -> jax.Array:
+    """[nb, OW] -> [nb + 2h, OW] with zero edge blocks (single-device)."""
+    if h == 0:
+        return r
+    z = jnp.zeros((h, r.shape[1]), dtype=r.dtype)
+    return jnp.concatenate([z, r, z], axis=0)
+
+
+def _halo_edges(r: jax.Array, h: int, axis_name: str) -> jax.Array:
+    """[nb_loc, OW] -> [nb_loc + 2h, OW]: edge blocks fetched from the ring
+    neighbors via ppermute (zeros at the global ends — unpaired destinations
+    receive zero).  The TPU-native ghost import of Epetra's SpMV
+    (/root/reference/src/NavierStokesSolver.cpp:345-347 compress/ghost
+    update): per-matvec collective volume is O(h*OW), not O(n)."""
+    if h == 0:
+        return r
+    n_dev = jax.lax.axis_size(axis_name)
+    fwd = [(i, i + 1) for i in range(n_dev - 1)]  # data moves to the right
+    bwd = [(i + 1, i) for i in range(n_dev - 1)]
+    left = jax.lax.ppermute(r[-h:], axis_name, fwd)  # my left neighbor's tail
+    right = jax.lax.ppermute(r[:h], axis_name, bwd)  # right neighbor's head
+    return jnp.concatenate([left, r, right], axis=0)
+
+
+def _windows_from_ext(x_ext: jax.Array, nb: int, OW: int, h: int) -> jax.Array:
+    """[nb + 2h, OW] edge-extended blocks -> [nb, (2h+1)*OW/128, 128]."""
+    shifts = [x_ext[s : s + nb] for s in range(2 * h + 1)]
     W = (2 * h + 1) * OW
     return jnp.concatenate(shifts, axis=1).reshape(nb, W // 128, 128)
 
 
-def _combine_windows(win: jax.Array, nb: int, OW: int, h: int, n: int) -> jax.Array:
+def _combine_windows(
+    win: jax.Array, nb: int, OW: int, h: int, n: int, axis_name: str | None = None
+) -> jax.Array:
     """Merge per-block window accumulators into the global vector.
 
     win: [nb, RW, 128] — window row j*OW + r of block b is global row
-    (b - h + j)*OW + r.  (2h+1) aligned shifted adds; under SPMD only the h
-    edge blocks of each shard cross devices (O(halo) collective volume)."""
+    (b - h + j)*OW + r.  (2h+1) aligned shifted adds; under SPMD the h edge
+    rows of the local accumulator are the neighbor devices' contributions,
+    exported via ppermute (the reverse of ``_halo_edges``: the Epetra
+    ``compress(add)`` neighbor reduction, O(h*OW) collective volume)."""
     W = (2 * h + 1) * OW
     seg = win.reshape(nb, -1)[:, :W].reshape(nb, 2 * h + 1, OW)
     acc = jnp.zeros((nb + 2 * h, OW), dtype=win.dtype)
     for j in range(2 * h + 1):
         acc = acc.at[j : j + nb].add(seg[:, j])
+    if axis_name is not None and h > 0:
+        n_dev = jax.lax.axis_size(axis_name)
+        fwd = [(i, i + 1) for i in range(n_dev - 1)]
+        bwd = [(i + 1, i) for i in range(n_dev - 1)]
+        # acc row p holds local block p - h: rows p < h belong to the LEFT
+        # neighbor's tail blocks, rows p >= h + nb to the RIGHT's head
+        from_right = jax.lax.ppermute(acc[:h], axis_name, bwd)
+        from_left = jax.lax.ppermute(acc[h + nb :], axis_name, fwd)
+        mid = acc[h : h + nb]
+        mid = mid.at[:h].add(from_left).at[nb - h :].add(from_right)
+        return mid.reshape(-1)[:n]
     return acc[h : h + nb].reshape(-1)[:n]
 
 
@@ -333,12 +367,26 @@ def _split_spaces(x: jax.Array, lay: WindowedLayout):
     return comps, p
 
 
-def _all_windows(lay: WindowedLayout, x: jax.Array):
-    """Padded per-space windows [nb, RW, 128] for the kernels."""
+def _all_windows(lay: WindowedLayout, x: jax.Array, axis_name: str | None = None):
+    """Padded per-space windows [nb, RW, 128] for the kernels.
+
+    With ``axis_name`` (inside shard_map, lay = LOCAL layout, x = local
+    planar chunk) the edge blocks come from the ring neighbors."""
     comps, p = _split_spaces(x, lay)
-    xw = [build_windows(c, lay.nb, lay.OWv, lay.hv) for c in comps] + [
-        build_windows(p, lay.nb, lay.OWp, lay.hp)
-    ]
+
+    def windows(c, OW, h):
+        r = c.reshape(lay.nb, OW)  # local n must be exactly nb*OW when sharded
+        ext = _pad_edges(r, h) if axis_name is None else _halo_edges(r, h, axis_name)
+        return _windows_from_ext(ext, lay.nb, OW, h)
+
+    if axis_name is None:
+        xw = [build_windows(c, lay.nb, lay.OWv, lay.hv) for c in comps] + [
+            build_windows(p, lay.nb, lay.OWp, lay.hp)
+        ]
+    else:
+        xw = [windows(c, lay.OWv, lay.hv) for c in comps] + [
+            windows(p, lay.OWp, lay.hp)
+        ]
     out = []
     for w, RW in zip(xw, [lay.RWv] * lay.dim + [lay.RWp]):
         if w.shape[1] != RW:
@@ -366,6 +414,7 @@ def windowed_matvec(
     x: jax.Array,
     *,
     passes: int = 3,
+    axis_name: str | None = None,
     interpret: bool = False,
 ) -> jax.Array:
     """y = A x via the windowed Pallas kernel (no Dirichlet handling here).
@@ -374,20 +423,31 @@ def windowed_matvec(
     (``to_block_form`` or windowed assembly output).
     passes: bf16 value-split terms (3 = f32-exact, 2 ~ 2e-5 relative, 1 =
     bf16) applied to BOTH the gathered x and the scattered products.
+    axis_name: set inside shard_map with a LOCAL layout (contiguous block
+    range per device) — windows/combine then exchange only the h edge blocks
+    with the ring neighbors (O(halo) collectives).
     """
     if jax.default_backend() == "cpu" and not interpret:
         # the Pallas TPU kernel has no CPU lowering; use the same-math
         # reference (tests compare kernel-vs-reference separately)
-        return windowed_matvec_reference(lay, A_t, x)
-    xw = _all_windows(lay, x)
+        return windowed_matvec_reference(lay, A_t, x, axis_name=axis_name)
+    xw = _all_windows(lay, x, axis_name)
     outs = _pallas_run(lay, "matvec", A_t, xw, passes, interpret)
-    ys = [_combine_windows(o, lay.nb, lay.OWv, lay.hv, lay.n_vs) for o in outs[: lay.dim]]
-    yp = _combine_windows(outs[-1], lay.nb, lay.OWp, lay.hp, lay.n_ps)
+    ys = [
+        _combine_windows(o, lay.nb, lay.OWv, lay.hv, lay.n_vs, axis_name)
+        for o in outs[: lay.dim]
+    ]
+    yp = _combine_windows(outs[-1], lay.nb, lay.OWp, lay.hp, lay.n_ps, axis_name)
     return jnp.concatenate(ys + [yp])
 
 
 def windowed_gather(
-    lay: WindowedLayout, x: jax.Array, *, passes: int = 3, interpret: bool = False
+    lay: WindowedLayout,
+    x: jax.Array,
+    *,
+    passes: int = 3,
+    axis_name: str | None = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """X[l, s] = x[dof_l of cell s] — [nli, nb*Bmax].
 
@@ -396,13 +456,18 @@ def windowed_gather(
     HBM gather.  Padded rows l >= nl are zero.
     """
     if jax.default_backend() == "cpu" and not interpret:
-        return _gather_reference(lay, x)
-    xw = _all_windows(lay, x)
+        return _gather_reference(lay, x, axis_name=axis_name)
+    xw = _all_windows(lay, x, axis_name)
     return _pallas_run(lay, "gather", None, xw, passes, interpret)
 
 
 def windowed_scatter(
-    lay: WindowedLayout, R: jax.Array, *, passes: int = 3, interpret: bool = False
+    lay: WindowedLayout,
+    R: jax.Array,
+    *,
+    passes: int = 3,
+    axis_name: str | None = None,
+    interpret: bool = False,
 ) -> jax.Array:
     """y = sum_cells P_c^T R_c for per-cell row values R [>=nl, nb*Bmax].
 
@@ -411,10 +476,13 @@ def windowed_scatter(
     vector [dim*nb*OWv + nb*OWp] truncated to [n_u + n_ps].
     """
     if jax.default_backend() == "cpu" and not interpret:
-        return _scatter_reference(lay, R)
+        return _scatter_reference(lay, R, axis_name=axis_name)
     outs = _pallas_run(lay, "scatter", R, None, passes, interpret)
-    ys = [_combine_windows(o, lay.nb, lay.OWv, lay.hv, lay.n_vs) for o in outs[: lay.dim]]
-    yp = _combine_windows(outs[-1], lay.nb, lay.OWp, lay.hp, lay.n_ps)
+    ys = [
+        _combine_windows(o, lay.nb, lay.OWv, lay.hv, lay.n_vs, axis_name)
+        for o in outs[: lay.dim]
+    ]
+    yp = _combine_windows(outs[-1], lay.nb, lay.OWp, lay.hp, lay.n_ps, axis_name)
     return jnp.concatenate(ys + [yp])
 
 
@@ -433,8 +501,10 @@ def _abs_loc(lay: WindowedLayout, hi, lo, offs, RVc, RW, k):
     return jnp.where((h >= RVc) | (l >= 128), RW * 128, loc)
 
 
-def _gather_reference(lay: WindowedLayout, x: jax.Array) -> jax.Array:
-    xw = _all_windows(lay, x)
+def _gather_reference(
+    lay: WindowedLayout, x: jax.Array, axis_name: str | None = None
+) -> jax.Array:
+    xw = _all_windows(lay, x, axis_name)
     lv = _abs_loc(lay, lay.loc_v_hi, lay.loc_v_lo, lay.offs_v, lay.RVv, lay.RWv, lay.k_v)
     lp = _abs_loc(lay, lay.loc_p_hi, lay.loc_p_lo, lay.offs_p, lay.RVp, lay.RWp, lay.k_p)
     cols = []
@@ -450,36 +520,45 @@ def _gather_reference(lay: WindowedLayout, x: jax.Array) -> jax.Array:
     return Xp.at[: lay.nl, :].set(X.reshape(lay.ncd, lay.nl).T)
 
 
-def _scatter_reference(lay: WindowedLayout, R: jax.Array) -> jax.Array:
+def _scatter_reference(
+    lay: WindowedLayout, R: jax.Array, axis_name: str | None = None
+) -> jax.Array:
     lv = _abs_loc(lay, lay.loc_v_hi, lay.loc_v_lo, lay.offs_v, lay.RVv, lay.RWv, lay.k_v)
     lp = _abs_loc(lay, lay.loc_p_hi, lay.loc_p_lo, lay.offs_p, lay.RVp, lay.RWp, lay.k_p)
     Rn = R[: lay.nl].T.reshape(lay.nb, lay.Bmax, lay.nl)
 
-    def scatter_space(loc, vals, OW, h, n):
-        # window position -> global row (b - h)*OW + loc; sentinels (RW*128)
-        # and out-of-range rows map to the dump slot nb*OW
-        gidx = (jnp.arange(lay.nb)[:, None, None] - h) * OW + loc
-        valid = (loc < (2 * h + 1) * OW) & (gidx >= 0) & (gidx < lay.nb * OW)
-        gidx = jnp.where(valid, gidx, lay.nb * OW)
-        out = jnp.zeros(lay.nb * OW + 1, dtype=vals.dtype)
-        out = out.at[gidx.reshape(-1)].add(vals.reshape(-1))
-        return out[: lay.nb * OW][:n]
+    def scatter_space(loc, vals, OW, h, n, RW):
+        # accumulate per-block WINDOWS (same semantics as the kernel: one
+        # extra dump column absorbs sentinel positions RW*128), then merge
+        # overlaps — sharded-aware via _combine_windows
+        flat = jnp.arange(lay.nb)[:, None, None] * (RW * 128 + 1) + jnp.minimum(
+            loc, RW * 128
+        )
+        win = jnp.zeros(lay.nb * (RW * 128 + 1), dtype=vals.dtype)
+        win = win.at[flat.reshape(-1)].add(vals.reshape(-1))
+        win = win.reshape(lay.nb, RW * 128 + 1)[:, : RW * 128].reshape(lay.nb, RW, 128)
+        return _combine_windows(win, lay.nb, OW, h, n, axis_name)
 
     ys = [
         scatter_space(
-            lv, Rn[:, :, c * lay.k_v : (c + 1) * lay.k_v], lay.OWv, lay.hv, lay.n_vs
+            lv, Rn[:, :, c * lay.k_v : (c + 1) * lay.k_v], lay.OWv, lay.hv,
+            lay.n_vs, lay.RWv,
         )
         for c in range(lay.dim)
     ]
-    yp = scatter_space(lp, Rn[:, :, lay.dim * lay.k_v :], lay.OWp, lay.hp, lay.n_ps)
+    yp = scatter_space(
+        lp, Rn[:, :, lay.dim * lay.k_v :], lay.OWp, lay.hp, lay.n_ps, lay.RWp
+    )
     return jnp.concatenate(ys + [yp])
 
 
-def windowed_matvec_reference(lay: WindowedLayout, A_t: jax.Array, x: jax.Array) -> jax.Array:
+def windowed_matvec_reference(
+    lay: WindowedLayout, A_t: jax.Array, x: jax.Array, axis_name: str | None = None
+) -> jax.Array:
     """Pure-jnp same-math reference (CPU tests; uses real gathers)."""
-    X = _gather_reference(lay, x)  # [nli, ncd]
+    X = _gather_reference(lay, x, axis_name)  # [nli, ncd]
     yl = jnp.einsum("jis,js->is", A_t[:, : lay.nl, :], X[: lay.nl])
-    return _scatter_reference(lay, yl)
+    return _scatter_reference(lay, yl, axis_name)
 
 
 # ---------------------------------------------------------------------------
