@@ -16,6 +16,8 @@ import os
 import sys
 import time
 
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -23,6 +25,8 @@ import numpy as np
 REFINE = int(os.environ.get("BENCH_REFINE", "2"))
 DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 REPS = int(os.environ.get("BENCH_REPS", "20"))
+PRECOND = os.environ.get("BENCH_PRECOND", "cahouet_chabard")
+BIG = os.environ.get("BENCH_BIG", "1") != "0"  # extra >=1M-DoF Newton step
 BASELINE_ASSEMBLY_MDOFS = 0.5  # deal.II single-core estimate (see docstring)
 
 
@@ -47,6 +51,7 @@ def main():
     cfg.krylov.max_iters = 2000
     cfg.krylov.restart = 60
     cfg.krylov.matvec = os.environ.get("BENCH_MATVEC", "windowed")
+    cfg.krylov.preconditioner = PRECOND  # flagship: windowed Cahouet-Chabard
 
     solver = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False))
     solver.setup()

@@ -23,7 +23,16 @@ def _add_common(p):
     p.add_argument("--nu", type=float)
     p.add_argument("--rho", type=float)
     p.add_argument("--p-out", dest="p_out", type=float)
-    p.add_argument("--preconditioner", choices=["identity", "block_diagonal", "block_triangular"])
+    p.add_argument(
+        "--preconditioner",
+        choices=["identity", "block_diagonal", "block_triangular", "cahouet_chabard"],
+    )
+    p.add_argument(
+        "--distributed", action="store_true",
+        help="join the JAX multi-host runtime (coordinator from "
+        "JAX_COORDINATOR_ADDRESS / JAX_NUM_PROCESSES / JAX_PROCESS_ID); "
+        "the reference's MPI_InitFinalize (main.cpp:7)",
+    )
     p.add_argument("--matvec", choices=["flat", "windowed"])
     p.add_argument("--dtype", choices=["auto", "float32", "float64"])
     p.add_argument("--devices", type=int, help="shard over N devices (SPMD)")
@@ -55,13 +64,22 @@ def cmd_run(args):
     from .utils.logging import RunLog
 
     cfg = _build_config(args)
-    log = RunLog()
+    verbose = True
+    if getattr(args, "distributed", False):
+        from .parallel.bootstrap import initialize_distributed, is_coordinator
+
+        initialize_distributed()
+        verbose = is_coordinator()  # rank-0 pcout (hpp:648,698)
+    log = RunLog(verbose=verbose)
     solver = NavierStokesSolver(args.mesh, cfg, log=log, n_devices=args.devices)
     solver.setup()
     if args.output_dir:
         from .io.xdmf import XdmfWriter
 
-        writer = XdmfWriter(solver.dofs, output_dir=args.output_dir)
+        writer = XdmfWriter(
+            solver.dofs, output_dir=args.output_dir,
+            partitioning=solver.cell_owner,  # real SPMD ownership (cpp:702-705)
+        )
         solver.output_hooks.append(lambda s, t, sol: writer.write(s, t, sol))
     solver.solve()
     if args.output_dir:

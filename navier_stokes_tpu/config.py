@@ -30,7 +30,9 @@ class KrylovConfig:
     rel_tol: float = 1e-2  # cpp:566: 1e-2 * ||rhs||
     max_iters: int = 2000  # practical cap (reference allows 100000, cpp:566)
     restart: int = 60
-    preconditioner: str = "identity"  # cpp:570 | "block_diagonal" | "block_triangular"
+    preconditioner: str = "identity"  # cpp:570 | "block_diagonal" |
+    # "block_triangular" | "cahouet_chabard" (windowed path only; our
+    # flagship: pressure-Laplacian Schur for the mass-dominated tangent)
     # operator application: "flat" = gather/segment-sum; "windowed" = the
     # Pallas two-level one-hot kernel (ops/windowed.py; requires blocked
     # dof renumbering, done automatically; ~4-5x faster per matvec on TPU)
@@ -43,6 +45,12 @@ class KrylovConfig:
     matvec_passes: int = 2
     inner_tol: float = 1e-2  # hpp:542,599
     inner_max_iters: int = 2000  # hpp:598
+    # cahouet_chabard inner sweep lengths (fixed-iteration Jacobi-CG on the
+    # velocity block and on the pressure-Laplacian Schur term); (2, 4) is the
+    # TPU sweet spot at 543k DoF: 396 ms/Newton step vs identity's 503 ms
+    # (outer iterations 60 vs 204)
+    cc_iters_a00: int = 2
+    cc_iters_ap: int = 4
     stokes_rel_tol: float = 1e-6  # cpp:538 (steady Stokes solve)
     # tangent-solve non-convergence policy: "warn" logs a structured failure
     # record; "raise" matches deal.II SolverControl::NoConvergence (cpp:566)
@@ -89,6 +97,20 @@ class SolverConfig:
     # tangent system (delta = g every iteration, cpp:375-376), which
     # double-applies a nonzero g across Newton iterations.
     dirichlet_mode: str = "increment"
+
+    # initial condition for the time loop: "zero" reproduces the as-shipped
+    # VectorTools::interpolate(u_0) (cpp:650); "stokes" enables the
+    # reference's DESIGNED-but-commented path (cpp:636-644): solve steady
+    # Stokes first and start Newton from it
+    initial_guess: str = "zero"
+
+    # time integrator: "bdf1" = implicit Euler (reference parity, cpp:249,
+    # 629-679); "bdf2" = second-order backward differences — the framework's
+    # own extension, needed for physics like DFG vortex shedding where
+    # BDF1's numerical dissipation damps the Cl amplitude.  BDF2's first
+    # step is an exact BDF1 residual solved with the BDF2 tangent
+    # (quasi-Newton; the root is unchanged).
+    time_scheme: str = "bdf1"
 
     # numerics
     dtype: str = "auto"  # "auto" | "float32" | "float64"

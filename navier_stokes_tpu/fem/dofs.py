@@ -41,6 +41,37 @@ def scalar_dof_map(mesh: Mesh, degree: int) -> tuple[int, np.ndarray, np.ndarray
         mid = 0.5 * (mesh.coords[mesh.edges[:, 0]] + mesh.coords[mesh.edges[:, 1]])
         coords = np.vstack([mesh.coords, mid])
         return mesh.n_nodes + mesh.n_edges, cell_dofs, coords
+    if degree == 3:
+        if mesh.dim != 2:
+            raise NotImplementedError("P3 scalar dof map is 2D-only (P3 tets "
+                                      "need a global face map)")
+        # 2 dofs per edge ordered along the CANONICAL (lo->hi) edge direction
+        # + 1 interior (cell bubble) dof.  Local order must match
+        # reference_element's P3 basis: vertices, then per EDGES[dim] entry
+        # (a, b) the node at (2a+b)/3 followed by (a+2b)/3, then the bubble.
+        nn, ne = mesh.n_nodes, mesh.n_edges
+        cells = mesh.cells.astype(np.int64)
+        edge_base = nn + 2 * mesh.cell_edges.astype(np.int64)  # [nc, 3]
+        cols = []
+        for k_e, (a, b) in enumerate(EDGES[mesh.dim]):
+            # global edge stores (lo, hi); dof 2e sits nearer lo, 2e+1 nearer
+            # hi.  The local first basis node sits nearer local vertex a.
+            fwd = cells[:, a] < cells[:, b]
+            e0 = np.where(fwd, edge_base[:, k_e], edge_base[:, k_e] + 1)
+            e1 = np.where(fwd, edge_base[:, k_e] + 1, edge_base[:, k_e])
+            cols.extend([e0, e1])
+        interior = nn + 2 * ne + np.arange(mesh.n_cells, dtype=np.int64)
+        cell_dofs = np.column_stack(
+            [cells[:, i] for i in range(cells.shape[1])] + cols + [interior]
+        ).astype(np.int32)
+        c0 = mesh.coords[mesh.edges[:, 0]]
+        c1 = mesh.coords[mesh.edges[:, 1]]
+        edge_pts = np.empty((2 * ne, mesh.dim))
+        edge_pts[0::2] = (2 * c0 + c1) / 3.0
+        edge_pts[1::2] = (c0 + 2 * c1) / 3.0
+        centroids = mesh.coords[mesh.cells].mean(axis=1)
+        coords = np.vstack([mesh.coords, edge_pts, centroids])
+        return nn + 2 * ne + mesh.n_cells, cell_dofs, coords
     raise NotImplementedError(f"P{degree} scalar dof map")
 
 
@@ -100,11 +131,27 @@ class TaylorHoodDofs:
         sel = np.isin(self.mesh.boundary_tags, tags)
         facets = self.mesh.boundary_facets[sel]
         ids = [facets.ravel()]
-        if self.element.velocity.degree >= 2:
+        deg = self.element.velocity.degree
+        if deg == 2:
             ids.append(self.mesh.n_nodes + self._facet_edge_ids(facets))
+        elif deg == 3:
+            eids = self.mesh.n_nodes + 2 * self._facet_edge_ids(facets)
+            ids.extend([eids, eids + 1])
         out = np.unique(np.concatenate(ids)).astype(np.int64)
         if self.v_perm is not None:
             out = np.sort(self.v_perm[out])
+        return out.astype(np.int32)
+
+    def boundary_scalar_pdofs(self, tags) -> np.ndarray:
+        """Sorted unique scalar-pressure DoFs on facets with these tags
+        (P1 pressure: facet vertices).  Used to pin the Cahouet-Chabard
+        pressure Laplacian at the outflow (where the velocity Neumann
+        condition fixes the pressure level)."""
+        tags = np.atleast_1d(np.asarray(tags))
+        sel = np.isin(self.mesh.boundary_tags, tags)
+        out = np.unique(self.mesh.boundary_facets[sel].ravel()).astype(np.int64)
+        if self.p_perm is not None:
+            out = np.sort(self.p_perm[out])
         return out.astype(np.int32)
 
     @property

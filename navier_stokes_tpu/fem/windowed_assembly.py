@@ -55,16 +55,49 @@ class WindowedAssembly:
     r_const: jax.Array  # [n_total]
     # lumped inverse pressure mass (Schur surrogate, psi_i psi_j / nu)
     inv_mp: jax.Array  # [n_ps]
+    # pressure Laplacian grad psi_i . grad psi_j in block layout (the
+    # Cahouet-Chabard Schur term; constant, geometry-only) + its assembled
+    # diagonal (Jacobi for the inner Poisson sweeps)
+    Kp_t: jax.Array  # [k_p, roundup(k_p, 8), ncd]
+    diag_kp: jax.Array  # [n_ps]
     dim: int = field(metadata=dict(static=True))
 
 
+def compute_r_const(ctx, p_out, f_q=None) -> np.ndarray:
+    """Solution-independent residual terms in the ctx's (natural/blocked)
+    numbering: outlet Neumann traction (cpp:314-336) + forcing.  f_q
+    overrides ctx.f_q — the hook for time-dependent forcing, where the solver
+    re-evaluates this each step and swaps wa.r_const (a pytree leaf, so no
+    recompile)."""
+    from .assembly import _neumann_residual
+
+    r = np.asarray(jax.device_get(_neumann_residual(ctx, p_out)), np.float64)
+    f_q = np.asarray(ctx.f_q if f_q is None else f_q, np.float64)
+    if np.any(f_q):
+        N_v = np.asarray(ctx.N_v, np.float64)
+        NvW = np.einsum("iq,cq->ciq", N_v, np.asarray(ctx.jxw, np.float64))
+        r_f = np.einsum("cqa,ciq->cai", f_q, NvW)
+        nc = r_f.shape[0]
+        flat = np.zeros(ctx.n_total)
+        cd = np.asarray(ctx.cell_dofs, np.int64)[:, : ctx.dim * ctx.nb_v]
+        np.add.at(flat, cd.ravel(), r_f.reshape(nc, -1).ravel())
+        r = r + flat
+    return r
+
+
 def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_out,
-                            jacobian_mass_rho=False, terms="navier_stokes"):
+                            jacobian_mass_rho=False, terms="navier_stokes",
+                            pin_pdofs=None):
     """Precompute geometry + constant terms from a FEMContext (natural order).
 
     ctx: fem.assembly.FEMContext on the SAME blocked-renumbered dofs.
     terms: "navier_stokes" (mass/dt + viscous + divergence) or "stokes"
     (viscous + divergence only, cpp:380-531).
+    pin_pdofs: pressure dofs at which the Cahouet-Chabard Laplacian Kp is
+    decoupled (off-diagonal row/col entries zeroed, assembled diagonal kept)
+    — the outflow pinning that makes the otherwise pure-Neumann Kp SPD
+    nonsingular, so the inner Jacobi-CG sweeps cannot blow up along the
+    constant-pressure nullspace.
     """
     from .assembly import _neumann_residual
 
@@ -107,19 +140,7 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
         A_const[sl, dim * k_v : nl, :] = -D[a].transpose(1, 0, 2)
 
     # ---- constant residual: Neumann traction + forcing -------------------
-    r_const = np.asarray(
-        jax.device_get(_neumann_residual(ctx, p_out)), np.float64
-    )
-    if np.any(np.asarray(ctx.f_q)):
-        NvW = np.einsum(
-            "iq,cq->ciq", N_v, np.asarray(ctx.jxw, np.float64)
-        )
-        r_f = np.einsum("cqa,ciq->cai", np.asarray(ctx.f_q, np.float64), NvW)
-        nc = r_f.shape[0]
-        flat = np.zeros(ctx.n_total)
-        cd = np.asarray(ctx.cell_dofs, np.int64)[:, : dim * k_v]
-        np.add.at(flat, cd.ravel(), r_f.reshape(nc, -1).ravel())
-        r_const = r_const + flat
+    r_const = compute_r_const(ctx, p_out)
 
     # ---- lumped inverse pressure mass (Mp = psi_i psi_j / nu) ------------
     jxw_nat = np.asarray(ctx.jxw, np.float64)
@@ -128,6 +149,46 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
     cp = np.asarray(ctx.cell_dofs[:, -k_p:], np.int64) - dofs.n_u
     np.add.at(lumped, cp.ravel(), mp_rows.ravel())
     inv_mp = np.where(lumped > 0, 1.0 / np.where(lumped > 0, lumped, 1.0), 1.0)
+
+    # ---- pressure Laplacian Kp (Cahouet-Chabard Schur term) --------------
+    # reference gradients of the pressure basis: re-tabulated at a matching
+    # quadrature (P1 gradients are constant, so the exact point set is
+    # immaterial as long as the count pairs with W_t)
+    from .quadrature import gauss_simplex
+
+    nq = N_p.shape[1]
+    for deg in range(1, 12):
+        quad = gauss_simplex(dim, deg)
+        if quad.n_points == nq:
+            break
+    else:
+        raise ValueError(f"no simplex rule with {nq} points for Kp tabulation")
+    _, G_p = dofs.element.pressure.tabulate(quad.points)  # [k_p, nq, dim]
+    Gpp_t = np.einsum("cda,bqa->bqdc", invJT, np.asarray(G_p, np.float64))
+    Kp = np.einsum("iqbc,jqbc,qc->ijc", Gpp_t, Gpp_t, W_t)  # [k_p, k_p, ncd]
+    k_p8 = -(-k_p // 8) * 8
+    Kp_t = np.zeros((k_p, k_p8, len(ids)))
+    Kp_t[:, :k_p, :] = Kp
+    # assembled diagonal: accumulate only each cell's HOME copy (ids are
+    # unique per cell in the v3 layout, padding slots excluded via hi sentinel)
+    diag_kp = np.zeros(dofs.n_ps)
+    hi0 = np.asarray(lay.loc_p_hi)[:, 0, :].reshape(-1)  # sentinel = RVp
+    valid = hi0 < lay.RVp
+    cpd = np.asarray(dofs.cell_pdofs, np.int64)[ids[valid]]
+    np.add.at(diag_kp, cpd.ravel(), Kp[np.arange(k_p), np.arange(k_p)].T[valid].ravel())
+    diag_kp = np.where(diag_kp > 0, diag_kp, 1.0)
+
+    # outflow pinning: decouple pinned pressure dofs (zero their off-diagonal
+    # rows/cols in every cell copy, keep each copy's own diagonal entry so the
+    # assembled diagonal — and diag_kp — are unchanged)
+    if pin_pdofs is not None and len(pin_pdofs):
+        pinned = np.zeros(dofs.n_ps, dtype=bool)
+        pinned[np.asarray(pin_pdofs, np.int64)] = True
+        alive = ~pinned[np.asarray(dofs.cell_pdofs, np.int64)[ids]]  # [ncd, k_p]
+        diag_save = Kp_t[np.arange(k_p), np.arange(k_p), :].copy()
+        Kp_t[:k_p] *= alive.T[:, None, :]
+        Kp_t[:, :k_p] *= alive.T[None, :, :]
+        Kp_t[np.arange(k_p), np.arange(k_p), :] = diag_save
 
     as_f = lambda a: jnp.asarray(a, dtype=dtype)
     return WindowedAssembly(
@@ -139,6 +200,8 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
         A_const=as_f(A_const),
         r_const=as_f(r_const),
         inv_mp=as_f(inv_mp),
+        Kp_t=as_f(Kp_t),
+        diag_kp=as_f(diag_kp),
         dim=dim,
     )
 

@@ -39,6 +39,24 @@ from ..utils.logging import RunLog
 __all__ = ["NavierStokesSolver"]
 
 
+def _takes_time(forcing) -> bool:
+    """True if the forcing callable is f(x, t) (time-dependent) rather than
+    f(x).  Bound __call__ signatures exclude self, so dataclass functions
+    like ZeroForcing count their real positional params."""
+    import inspect
+
+    try:
+        fn = forcing if inspect.isfunction(forcing) or inspect.ismethod(forcing) else forcing.__call__
+        params = [
+            p
+            for p in inspect.signature(fn).parameters.values()
+            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+        ]
+        return len(params) >= 2
+    except (TypeError, ValueError):
+        return False
+
+
 class NavierStokesSolver:
     def __init__(
         self,
@@ -122,6 +140,20 @@ class NavierStokesSolver:
                     f"(cells/block {cpb}), pad {self._win_layout.pad_factor:.2f}"
                     + (f", {self._dist.nb_loc} blocks/device" if self._dist else "")
                 )
+        # per-cell ownership: the reference writes this as the per-cell
+        # "partitioning" output field every step (cpp:702-705)
+        self.cell_owner = np.zeros(self.mesh.n_cells, dtype=np.int32)
+        if self._dist is not None:
+            lay = self._win_layout
+            ids = np.asarray(lay.cell_ids)  # [nb, Bmax], pad slots repeat ids
+            valid = np.asarray(lay.loc_p_hi)[:, 0, :] < lay.RVp
+            block_of = np.empty(self.mesh.n_cells, dtype=np.int64)
+            bidx = np.broadcast_to(
+                np.arange(lay.nb)[:, None], ids.shape
+            )
+            block_of[ids[valid]] = bidx[valid]
+            self.cell_owner = (block_of // self._dist.nb_loc).astype(np.int32)
+
         elem = self.dofs.element
         log.print(f"  Velocity degree:           = {cfg.degree_velocity}")
         log.print(f"  Pressure degree:           = {cfg.degree_pressure}")
@@ -141,10 +173,13 @@ class NavierStokesSolver:
             "float32": jnp.float32,
             "float64": jnp.float64,
         }[cfg.dtype]
+        self._forcing_time_dep = _takes_time(self.forcing)
         self.ctx = build_context(
             self.dofs,
             neumann_tags=cfg.neumann_tags,
-            forcing=self.forcing,
+            forcing=(lambda pts: self.forcing(pts, 0.0))
+            if self._forcing_time_dep
+            else self.forcing,
             quadrature_degree=cfg.quadrature_degree,
             dtype=self._dtype,
         )
@@ -156,6 +191,12 @@ class NavierStokesSolver:
             centroids = self.mesh.coords[self.mesh.cells].mean(axis=1)
             order = morton_order(centroids)
             self.ctx = pad_and_shard_context(self.ctx, self.spmd_mesh, cell_order=order)
+            # real per-cell ownership for the output writer (cpp:702-705):
+            # contiguous morton chunks of padded cells per device
+            nc_pad = self.ctx.cell_dofs.shape[0]
+            owner = np.arange(nc_pad) // (nc_pad // self.n_devices)
+            self.cell_owner = np.empty(self.mesh.n_cells, dtype=np.int32)
+            self.cell_owner[order] = owner[: self.mesh.n_cells]
             log.print(
                 f"  Domain decomposition: {self.n_devices} devices, "
                 f"{self.ctx.cell_dofs.shape[0]} padded cells"
@@ -172,6 +213,7 @@ class NavierStokesSolver:
                 rho=cfg.rho,
                 p_out=cfg.p_out,
                 jacobian_mass_rho=cfg.jacobian_mass_rho,
+                pin_pdofs=self.dofs.boundary_scalar_pdofs(cfg.neumann_tags),
             )
 
         # Dirichlet: inlet first, walls override on shared DoFs (cpp:354-373)
@@ -253,16 +295,20 @@ class NavierStokesSolver:
         raise ValueError(f"unknown preconditioner {kind!r}")
 
     def _make_windowed_preconditioner(
-        self, lay, A_t, inv_mp, bc_diag, diag0, bc_rows, axis_name=None
+        self, lay, A_t, wa, bc_diag, diag0, bc_rows, axis_name=None,
+        mass_coef=None, kind=None,
     ):
         """Schur preconditioners built ON the windowed operator.
 
-        The velocity block never needs its own kernel: with the planar layout,
-        A00 x_u is the velocity segment of the FULL operator applied to
-        [x_u; 0] (the pressure rows it also computes are B x_u — reused for
-        the triangular sweep).  The pressure-mass solve uses the LUMPED mass
-        inverse (row sums), the standard spectrally-equivalent Schur surrogate
-        — no inner iteration at all.
+        block_diagonal / block_triangular mirror the reference classes
+        (hpp:520-639) with the LUMPED pressure-mass inverse as the Schur
+        surrogate.  cahouet_chabard is the framework's own flagship: with
+        implicit Euler the tangent's A00 is mass-dominated, so the true Schur
+        complement is ~ (dt/rho) * pressure Laplacian — the CC formula
+        S^-1 ~ nu*rho*Mp^-1 + mass_coef*Kp^-1 preconditions it with a few
+        Jacobi-CG Poisson sweeps on the CHEAP p->p block kernel
+        (ops/windowed.windowed_matvec_block), cutting outer FGMRES
+        iterations ~6x vs identity (scripts/schur_probe.py).
 
         With axis_name set (windowed SPMD), all vectors here are per-device
         chunks of the distributed layout: the planar velocity slice is the
@@ -270,17 +316,18 @@ class NavierStokesSolver:
         inner-CG reductions psum.
         """
         cfg = self.cfg
-        kind = cfg.krylov.preconditioner
+        kind = kind or cfg.krylov.preconditioner
         if kind == "identity":
             return identity()
         from ..la.cg import cg
         from ..la.gmres import _norm
         from ..la.preconditioners import jacobi
-        from ..ops.windowed import windowed_matvec
+        from ..ops.windowed import slice_block, windowed_matvec, windowed_matvec_block
 
         n = lay.dim * lay.n_vs + lay.n_ps  # local length under SPMD
         n_u = lay.dim * lay.n_vs
         passes = cfg.krylov.matvec_passes
+        inv_mp = wa.inv_mp
 
         # Jacobi diagonal of A00 with symmetric-BC replacement (sentinel
         # rows drop; bc rows are all velocity rows by construction)
@@ -288,6 +335,61 @@ class NavierStokesSolver:
         if bc_rows.shape[0]:
             diag_u = diag_u.at[bc_rows].set(bc_diag, mode="drop")
         pA = jacobi(diag_u)
+
+        if kind == "cahouet_chabard":
+            A00_blk = slice_block(lay, A_t, "v", "v")
+            B_blk = slice_block(lay, A_t, "v", "p")
+
+            def A00_mv(v):
+                if bc_rows.shape[0]:
+                    v = v.at[bc_rows].set(0.0, mode="drop")  # BC columns
+                y = windowed_matvec_block(
+                    lay, A00_blk, v, in_spaces="v", out_spaces="v",
+                    passes=passes, axis_name=axis_name,
+                )
+                return y
+
+            def A00_bc(v):  # SPD-consistent (symmetric BC elimination)
+                y = A00_mv(v)
+                if bc_rows.shape[0]:
+                    vb = v.at[bc_rows].get(mode="fill", fill_value=0.0)
+                    y = y.at[bc_rows].set(bc_diag * vb, mode="drop")
+                return y
+
+            def Kp_mv(p):
+                return windowed_matvec_block(
+                    lay, wa.Kp_t, p, in_spaces="p", out_spaces="p",
+                    passes=passes, axis_name=axis_name,
+                )
+
+            pKp = jacobi(wa.diag_kp)
+            if mass_coef is None:
+                # implicit-Euler tangent: A00 ~ (rho/dt) M => S^-1's Laplacian
+                # term carries rho/dt.  Steady Stokes passes 0.0 (pure
+                # pressure-mass Schur), cpp:546-552.
+                mass_coef = (cfg.rho if cfg.jacobian_mass_rho else 1.0) / cfg.dt
+
+            def apply(v):
+                vu, vp = v[:n_u], v[n_u:]
+                du = cg(
+                    A00_bc, vu, atol=0.0, maxiter=cfg.krylov.cc_iters_a00,
+                    precond=pA, axis_name=axis_name,
+                ).x
+                B_du = windowed_matvec_block(
+                    lay, B_blk, du, in_spaces="v", out_spaces="p",
+                    passes=passes, axis_name=axis_name,
+                )
+                rp = vp - B_du
+                dp = cfg.rho * inv_mp * rp
+                if mass_coef:
+                    dp_lap = cg(
+                        Kp_mv, rp, atol=0.0, maxiter=cfg.krylov.cc_iters_ap,
+                        precond=pKp, axis_name=axis_name,
+                    ).x
+                    dp = dp + mass_coef * dp_lap
+                return jnp.concatenate([du, dp])
+
+            return apply
 
         def apply_full(xu, zero_bc):
             x = jnp.zeros(n, dtype=xu.dtype).at[:n_u].set(xu)
@@ -388,7 +490,7 @@ class NavierStokesSolver:
                     return y
 
                 precond = self._make_windowed_preconditioner(
-                    lay, A_t, wa.inv_mp, bc_diag, diag0, bc_rows, axis_name
+                    lay, A_t, wa, bc_diag, diag0, bc_rows, axis_name
                 )
             else:
                 op = ops.ElementOperator(
@@ -484,6 +586,123 @@ class NavierStokesSolver:
             self.newton_iteration_fn = lambda u, uo, bv: newton_iteration(
                 self.ctx, self._wassembly, self._win_layout, u, uo, bc_rows, bv
             )
+
+    # ------------------------------------------------------------------
+    def stokes_initial_guess(self, t: float | None = None):
+        """Solve steady Stokes on THIS solver's DoF layout (the reference's
+        designed-but-commented initial-guess path, cpp:636-644; the solve is
+        cpp:533-559: GMRES tol 1e-6 with the block preconditioner).
+
+        Returns the solution vector in the solver's state layout (planar, or
+        device-major distributed under windowed SPMD).
+        """
+        cfg, log = self.cfg, self.log
+        t = self.time if t is None else t
+        log.banner()
+        log.print("Assembling the Stokes system")
+        if self._win_layout is None:
+            if self.spmd_mesh is not None:
+                raise NotImplementedError(
+                    "Stokes initial guess under flat SPMD is not wired; use "
+                    "matvec='windowed' (owned-range DD) or a single device"
+                )
+            # flat single-device: StokesSolver shares the natural numbering
+            import copy as _copy
+
+            from .stokes import StokesSolver
+
+            st = StokesSolver(
+                self.mesh, _copy.deepcopy(cfg), log=RunLog(verbose=False),
+                forcing=self.forcing, inlet=self.inlet,
+            )
+            x = st.solve(t)
+            log.print("Solving the Stokes system")
+            log.gmres_iters(
+                int([r for r in st.log.records if r.get("event") == "gmres"][-1]["iters"]),
+                system="stokes",
+            )
+            return jnp.asarray(x, dtype=self._dtype)
+
+        from ..fem.windowed_assembly import build_windowed_assembly
+        from ..la.gmres import _norm
+        from ..ops.windowed import windowed_matvec, windowed_scatter
+
+        wa_st = build_windowed_assembly(
+            self.ctx, self._win_layout, self.dofs,
+            dt=1.0, nu=cfg.nu, rho=cfg.rho, p_out=cfg.p_out, terms="stokes",
+            pin_pdofs=self.dofs.boundary_scalar_pdofs(cfg.neumann_tags),
+        )
+
+        def stokes_solve(wa, lay, bc_rows, bc_vals, axis_name=None):
+            A_t = wa.A_const  # the Stokes operator is u-independent
+            nl = lay.nl
+            d_loc = A_t[jnp.arange(nl), jnp.arange(nl), :]
+            Dv = jnp.zeros((lay.nli, lay.ncd), dtype=A_t.dtype).at[:nl].set(d_loc)
+            diag0 = windowed_scatter(lay, Dv, axis_name=axis_name)
+            bc_diag = diag0.at[bc_rows].get(mode="fill", fill_value=1.0)
+            rhs = wa.r_const.at[bc_rows].set(bc_diag * bc_vals, mode="drop")
+
+            def apply_op(v):
+                y = windowed_matvec(
+                    lay, A_t, v, passes=cfg.krylov.matvec_passes, axis_name=axis_name
+                )
+                vb = v.at[bc_rows].get(mode="fill", fill_value=0.0)
+                return y.at[bc_rows].set(bc_diag * vb, mode="drop")
+
+            # the reference's designed Stokes path wires
+            # PreconditionBlockTriangular with REAL inner solves
+            # (cpp:546-552); CC's fixed micro-sweeps on the pure-viscous A00
+            # are far too weak for the 1e-6 Stokes tolerance
+            precond = self._make_windowed_preconditioner(
+                lay, A_t, wa, bc_diag, diag0, bc_rows, axis_name,
+                kind="block_triangular"
+                if cfg.krylov.preconditioner in ("identity", "cahouet_chabard")
+                else None,
+            )
+            x0 = jnp.zeros_like(rhs).at[bc_rows].set(bc_vals, mode="drop")
+            sol = fgmres(
+                apply_op, rhs, x0=x0,
+                atol=cfg.krylov.stokes_rel_tol * _norm(rhs, axis_name),  # cpp:538
+                restart=cfg.krylov.restart,
+                maxiter=cfg.krylov.max_iters,
+                precond=precond,
+                axis_name=axis_name,
+            )
+            return sol.x, sol.iters, sol.residual
+
+        vals = np.asarray(self.dirichlet.values(t))
+        if self._dist is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel import windowed_spmd as wspmd
+            from ..parallel.spmd import shard_map
+
+            wa_s = wspmd.shard_wa(wa_st, self._dist, self.spmd_mesh)
+            vals = wspmd.localize_values(
+                vals, self._bc_dev, self._bc_slot,
+                self._dist.n_dev, self._bc_local.shape[1],
+            )
+            sh = P(wspmd.AXIS)
+            fn = shard_map(
+                lambda wa, lay, br, bv: stokes_solve(
+                    wa, lay, br[0], bv[0], axis_name=wspmd.AXIS
+                ),
+                self.spmd_mesh,
+                in_specs=(wspmd.wa_pspecs(wa_s), wspmd.layout_pspecs(self._lay_sharded), sh, sh),
+                out_specs=(sh, P(), P()),
+            )
+            x, iters, res = jax.jit(fn)(
+                wa_s, self._lay_sharded, jnp.asarray(self._bc_local),
+                jnp.asarray(vals, dtype=self._dtype),
+            )
+        else:
+            x, iters, res = jax.jit(stokes_solve)(
+                wa_st, self._win_layout, self._bc_rows,
+                jnp.asarray(vals, dtype=self._dtype),
+            )
+        log.print("Solving the Stokes system")
+        log.gmres_iters(int(iters), system="stokes")
+        return x
 
     # ------------------------------------------------------------------
     def solve_newton(self):
@@ -612,8 +831,14 @@ class NavierStokesSolver:
         if not resume:
             self.time = 0.0
             self._step = 0
-            log.print("Applying the initial condition")
-            self.solution = jnp.zeros(self.dofs.n_total, dtype=self._dtype)
+            if cfg.initial_guess == "stokes":
+                # designed reference path (cpp:636-644): start from Stokes
+                self.solution = jnp.asarray(
+                    self.stokes_initial_guess(0.0), dtype=self._dtype
+                )
+            else:
+                log.print("Applying the initial condition")
+                self.solution = jnp.zeros(self.dofs.n_total, dtype=self._dtype)
             self._output(0, 0.0)
             log.rule()
 
@@ -626,10 +851,48 @@ class NavierStokesSolver:
             # donated buffer must not also be passed as solution_old
             self.solution_old = self.solution.copy()
             log.time_step(step, self.time)
+            if self._forcing_time_dep:
+                # implicit Euler: the residual lives at the NEW time level
+                self._update_forcing(self.time)
             self.solve_newton()
             self._output(step, self.time)
             log.print()
         return self.solution
+
+    def _update_forcing(self, t: float):
+        """Re-evaluate a time-dependent forcing f(x, t) at the new time level
+        and swap it into the jitted kernels' pytree inputs (ctx.f_q for the
+        flat path, wa.r_const for the windowed path) — leaf swaps, so no
+        recompilation.  The reference's equivalent is ForcingTerm::set_time
+        (never exercised there: its forcing is constant, hpp:414-439)."""
+        import dataclasses
+
+        from ..fem.geometry import cell_geometry
+        from ..fem.quadrature import gauss_simplex
+
+        if self.spmd_mesh is not None or self._dist is not None:
+            raise NotImplementedError(
+                "time-dependent forcing under SPMD needs per-device f_q "
+                "resharding; run single-device or freeze the forcing"
+            )
+        if not hasattr(self, "_f_qpts"):
+            deg = self.cfg.quadrature_degree or (
+                2 * (self.dofs.element.velocity.degree + 1) - 1
+            )
+            geo = cell_geometry(self.mesh, gauss_simplex(self.mesh.dim, deg))
+            self._f_qpts = geo.qpts  # [nc, nq, dim]
+        nc, nq, dim = self._f_qpts.shape
+        f_q = np.asarray(self.forcing(self._f_qpts.reshape(-1, dim), t)).reshape(
+            nc, nq, dim
+        )
+        self.ctx = dataclasses.replace(self.ctx, f_q=jnp.asarray(f_q, self._dtype))
+        if self._wassembly is not None:
+            from ..fem.windowed_assembly import compute_r_const
+
+            r = compute_r_const(self.ctx, self.cfg.p_out)
+            self._wassembly = dataclasses.replace(
+                self._wassembly, r_const=jnp.asarray(r, self._dtype)
+            )
 
     def _output(self, step: int, t: float):
         if not self.output_hooks:

@@ -64,9 +64,12 @@ __all__ = [
     "build_windows",
     "to_block_form",
     "windowed_matvec",
+    "windowed_matvec_block",
     "windowed_matvec_reference",
     "windowed_gather",
     "windowed_scatter",
+    "slice_block",
+    "block_shape",
 ]
 
 _ALIGN_ROWS = 8  # subwindow offsets in whole 8-row groups (f32 sublane tile)
@@ -559,6 +562,330 @@ def windowed_matvec_reference(
     X = _gather_reference(lay, x, axis_name)  # [nli, ncd]
     yl = jnp.einsum("jis,js->is", A_t[:, : lay.nl, :], X[: lay.nl])
     return _scatter_reference(lay, yl, axis_name)
+
+
+# ---------------------------------------------------------------------------
+# block matvec (velocity-only / pressure-only / rectangular couplings)
+# ---------------------------------------------------------------------------
+
+
+def block_shape(lay: WindowedLayout, in_spaces: str, out_spaces: str) -> tuple[int, int]:
+    """(n_in, n_out_padded) of a sub-block operator A_sub[j_in, i_out, ncd]."""
+    n_in = (lay.dim * lay.k_v if "v" in in_spaces else 0) + (
+        lay.k_p if "p" in in_spaces else 0
+    )
+    n_out = (lay.dim * lay.k_v if "v" in out_spaces else 0) + (
+        lay.k_p if "p" in out_spaces else 0
+    )
+    return n_in, _round_up(n_out, 8)
+
+
+def slice_block(lay: WindowedLayout, A_t: jax.Array, in_spaces: str, out_spaces: str) -> jax.Array:
+    """Cut a sub-block operator out of the full A_t [nl, nli, ncd].
+
+    Returns [n_in, n_out_pad, ncd] — e.g. the velocity block A00
+    (in="v", out="v"), the divergence B (in="v", out="p"), or its
+    transpose-coupling B^T (in="p", out="v").
+    """
+    nvl = lay.dim * lay.k_v
+    jsl = {
+        "v": slice(0, nvl), "p": slice(nvl, lay.nl), "vp": slice(0, lay.nl)
+    }
+    A = A_t[jsl[in_spaces], :, :]
+    isl = jsl[out_spaces]
+    n_in, n_out_pad = block_shape(lay, in_spaces, out_spaces)
+    out = jnp.zeros((n_in, n_out_pad, A_t.shape[2]), dtype=A_t.dtype)
+    return out.at[:, : isl.stop - isl.start, :].set(A[:, isl, :])
+
+
+def windowed_matvec_block(
+    lay: WindowedLayout,
+    A_sub: jax.Array,
+    x: jax.Array,
+    *,
+    in_spaces: str = "vp",
+    out_spaces: str = "vp",
+    passes: int = 3,
+    axis_name: str | None = None,
+    interpret: bool = False,
+) -> jax.Array:
+    """y = A_sub x for a sub-block operator at proportional cost.
+
+    A_sub: [n_in, n_out_pad, ncd] (``slice_block`` of the tangent, or a
+    dedicated assembled block like the pressure Laplacian Kp_t).
+    x: planar segment of the in-spaces ("v" -> [dim*n_vs], "p" -> [n_ps],
+    "vp" -> full).  Returns the out-spaces segment.
+
+    The cost driver is the one-hot selection over (space, dof) lanes, so a
+    "p"->"p" solve (k_p dofs) costs ~k_p/(dim*k_v + k_p) of the full matvec —
+    what makes Cahouet-Chabard pressure-Poisson sweeps affordable.
+    """
+    assert in_spaces in ("v", "p", "vp") and out_spaces in ("v", "p", "vp")
+    if in_spaces == "vp" and out_spaces == "vp":
+        return windowed_matvec(
+            lay, A_sub, x, passes=passes, axis_name=axis_name, interpret=interpret
+        )
+    if jax.default_backend() == "cpu" and not interpret:
+        return _block_reference(lay, A_sub, x, in_spaces, out_spaces, axis_name)
+    xw = _block_windows(lay, x, in_spaces, axis_name)
+    outs = _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret)
+    return _block_combine(lay, outs, out_spaces, axis_name)
+
+
+def _block_windows(lay, x, in_spaces, axis_name):
+    if in_spaces == "vp":
+        return _all_windows(lay, x, axis_name)
+
+    def windows(c, OW, h, RW):
+        r = c.reshape(lay.nb, OW)
+        ext = _pad_edges(r, h) if axis_name is None else _halo_edges(r, h, axis_name)
+        w = _windows_from_ext(ext, lay.nb, OW, h)
+        if w.shape[1] != RW:
+            w = jnp.zeros((lay.nb, RW, 128), w.dtype).at[:, : w.shape[1], :].set(w)
+        return w
+
+    if in_spaces == "v":
+        return [
+            windows(x[c * lay.n_vs : (c + 1) * lay.n_vs], lay.OWv, lay.hv, lay.RWv)
+            for c in range(lay.dim)
+        ]
+    return [windows(x[: lay.n_ps], lay.OWp, lay.hp, lay.RWp)]
+
+
+def _block_combine(lay, outs, out_spaces, axis_name):
+    ys = []
+    if "v" in out_spaces:
+        ys += [
+            _combine_windows(o, lay.nb, lay.OWv, lay.hv, lay.n_vs, axis_name)
+            for o in outs[: lay.dim]
+        ]
+    if "p" in out_spaces:
+        ys.append(_combine_windows(outs[-1], lay.nb, lay.OWp, lay.hp, lay.n_ps, axis_name))
+    return jnp.concatenate(ys) if len(ys) > 1 else ys[0]
+
+
+def _block_reference(lay, A_sub, x, in_spaces, out_spaces, axis_name):
+    """Pure-jnp same-math reference for the block matvec (CPU path)."""
+    nvl = lay.dim * lay.k_v
+    n_loc = lay.dim * lay.n_vs + lay.n_ps
+    if in_spaces == "v":
+        xf = jnp.zeros(n_loc, x.dtype).at[: lay.dim * lay.n_vs].set(x)
+    elif in_spaces == "p":
+        xf = jnp.zeros(n_loc, x.dtype).at[lay.dim * lay.n_vs :].set(x)
+    else:
+        xf = x
+    X = _gather_reference(lay, xf, axis_name)  # [nli, ncd]
+    jsl = {"v": slice(0, nvl), "p": slice(nvl, lay.nl), "vp": slice(0, lay.nl)}
+    n_in = jsl[in_spaces].stop - jsl[in_spaces].start
+    yl = jnp.einsum("jis,js->is", A_sub, X[jsl[in_spaces]])  # [n_out_pad, ncd]
+    # place out rows into the full local layout for the shared scatter
+    R = jnp.zeros((lay.nli, lay.ncd), dtype=yl.dtype)
+    osl = jsl[out_spaces]
+    R = R.at[osl].set(yl[: osl.stop - osl.start])
+    yf = _scatter_reference(lay, R, axis_name)
+    if out_spaces == "v":
+        return yf[: lay.dim * lay.n_vs]
+    if out_spaces == "p":
+        return yf[lay.dim * lay.n_vs :]
+    return yf
+
+
+def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
+    """Space-selective matvec kernel (same algorithm as _pallas_run's matvec
+    mode, restricted to the chosen input/output spaces)."""
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    P = int(passes)
+    dim, nb, Bc, nchunks = lay.dim, lay.nb, lay.Bc, lay.nchunks
+    k_v, k_p = lay.k_v, lay.k_p
+    RVv, RVp, RWv, RWp = lay.RVv, lay.RVp, lay.RWv, lay.RWp
+    kvp = lay.loc_v_hi.shape[1]
+    kpp = lay.loc_p_hi.shape[1]
+    dtype = A_sub.dtype
+    mdt = jnp.bfloat16 if dtype == jnp.float32 else dtype
+    in_v, in_p = "v" in in_spaces, "p" in in_spaces
+    out_v, out_p = "v" in out_spaces, "p" in out_spaces
+    n_in, n_out_pad = block_shape(lay, in_spaces, out_spaces)
+    nvl = dim * k_v
+    nP = 1 if dtype != jnp.float32 else P
+
+    def _dot(a, bop, dims):
+        return jax.lax.dot_general(a, bop, dims, preferred_element_type=dtype)
+
+    def splitP(v):
+        if dtype != jnp.float32:
+            return [v]
+        if P == 1:
+            return [v.astype(mdt)]
+        t1 = v.astype(jnp.bfloat16).astype(dtype)
+        if P == 2:
+            return [t1.astype(mdt), (v - t1).astype(mdt)]
+        r = v - t1
+        t2 = r.astype(jnp.bfloat16).astype(dtype)
+        return [t1.astype(mdt), t2.astype(mdt), (r - t2).astype(mdt)]
+
+    n_xin = (dim if in_v else 0) + (1 if in_p else 0)
+    n_yout = (dim if out_v else 0) + (1 if out_p else 0)
+
+    def kernel(offv_ref, offp_ref, lvh_ref, lvl_ref, lph_ref, lpl_ref, *rest):
+        A_ref = rest[0]
+        x_refs = rest[1 : 1 + n_xin]
+        y_refs = rest[1 + n_xin : 1 + n_xin + n_yout]
+        acc_refs = rest[1 + n_xin + n_yout :]
+        b = pl.program_id(0)
+        c = pl.program_id(1)
+        offrv = pl.multiple_of(offv_ref[b, c], _ALIGN_ROWS)
+        offrp = pl.multiple_of(offp_ref[b, c], _ALIGN_ROWS)
+
+        def hi_onehot(h_ref, l, RVc):
+            hi = h_ref[0, l : l + 1, :]
+            ioh = jax.lax.broadcasted_iota(jnp.int32, (RVc, Bc), 0)
+            return (hi == ioh).astype(mdt)
+
+        iol = jax.lax.broadcasted_iota(jnp.int32, (128, Bc), 0)
+        need_v = in_v or out_v
+        need_p = in_p or out_p
+        ohh_v = [hi_onehot(lvh_ref, l, RVv) for l in range(k_v)] if need_v else []
+        ohh_p = [hi_onehot(lph_ref, l, RVp) for l in range(k_p)] if need_p else []
+        OHL_v = (
+            jnp.concatenate(
+                [(lvl_ref[0, l : l + 1, :] == iol).astype(mdt) for l in range(k_v)],
+                axis=1,
+            )
+            if need_v
+            else None
+        )
+        OHL_p = (
+            jnp.concatenate(
+                [(lpl_ref[0, l : l + 1, :] == iol).astype(mdt) for l in range(k_p)],
+                axis=1,
+            )
+            if need_p
+            else None
+        )
+
+        # ---- gather inputs -> yl [n_out_pad, Bc] ---------------------------
+        yl = jnp.zeros((n_out_pad, Bc), dtype=dtype)
+
+        def xval(T, l, comp, RVc, ohh):
+            Tl = T[:, l * Bc : (l + 1) * Bc]
+            Tc = Tl[nP * comp * RVc : (nP * comp + 1) * RVc]
+            for t in range(1, nP):
+                Tc = Tc + Tl[(nP * comp + t) * RVc : (nP * comp + t + 1) * RVc]
+            return (Tc * ohh.astype(dtype)).sum(axis=0, keepdims=True)
+
+        if in_v:
+            parts = []
+            for comp in range(dim):
+                parts.extend(splitP(x_refs[comp][0, pl.ds(offrv, RVv), :]))
+            T_v = _dot(jnp.concatenate(parts, axis=0), OHL_v, (((1,), (0,)), ((), ())))
+            for l in range(k_v):
+                for comp in range(dim):
+                    yl = yl + A_ref[comp * k_v + l] * xval(T_v, l, comp, RVv, ohh_v[l])
+        if in_p:
+            xp_ref = x_refs[dim if in_v else 0]
+            T_p = _dot(
+                jnp.concatenate(list(splitP(xp_ref[0, pl.ds(offrp, RVp), :])), axis=0),
+                OHL_p, (((1,), (0,)), ((), ())),
+            )
+            row0 = nvl if in_v else 0
+            for l in range(k_p):
+                yl = yl + A_ref[row0 + l] * xval(T_p, l, 0, RVp, ohh_p[l])
+
+        # ---- scatter outputs ----------------------------------------------
+        sparts = splitP(yl)
+
+        @pl.when(c == 0)
+        def _zero():
+            for r in acc_refs:
+                r[:, :] = jnp.zeros_like(r)
+
+        def scatter_space(k, ohh_l, OHL, RVc, ncomp, row0, kd, accs, offr):
+            cols = []
+            for l in range(k):
+                blocks = []
+                for comp in range(ncomp):
+                    row = row0 + comp * kd + l
+                    for t in sparts:
+                        blocks.append(ohh_l[l] * t[row : row + 1, :])
+                cols.append(jnp.concatenate(blocks, axis=0))
+            A3 = jnp.concatenate(cols, axis=1)
+            out = _dot(A3, OHL, (((1,), (1,)), ((), ())))
+            sl = (pl.ds(offr, RVc), slice(None))
+            for comp in range(ncomp):
+                add = out[nP * comp * RVc : (nP * comp + 1) * RVc]
+                for t in range(1, nP):
+                    add = add + out[(nP * comp + t) * RVc : (nP * comp + t + 1) * RVc]
+                accs[comp][sl] = accs[comp][sl] + add
+
+        i_acc = 0
+        if out_v:
+            scatter_space(
+                k_v, ohh_v, OHL_v, RVv, dim, 0, k_v, list(acc_refs[:dim]), offrv
+            )
+            i_acc = dim
+        if out_p:
+            row0 = nvl if out_v else 0
+            scatter_space(
+                k_p, ohh_p, OHL_p, RVp, 1, row0, k_p, [acc_refs[i_acc]], offrp
+            )
+
+        @pl.when(c == nchunks - 1)
+        def _emit():
+            for i, r in enumerate(acc_refs):
+                y_refs[i][0] = r[:, :]
+
+    smem = pl.BlockSpec((nb, nchunks), lambda b, c: (0, 0), memory_space=pltpu.SMEM)
+    in_specs = [
+        smem,
+        smem,
+        pl.BlockSpec((1, kvp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kvp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kpp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, kpp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
+        pl.BlockSpec(
+            (n_in, n_out_pad, Bc), lambda b, c: (0, 0, b * nchunks + c),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    inputs = [
+        lay.offs_v, lay.offs_p,
+        lay.loc_v_hi, lay.loc_v_lo, lay.loc_p_hi, lay.loc_p_lo,
+        A_sub,
+    ]
+    RWs = ([RWv] * dim if in_v else []) + ([RWp] if in_p else [])
+    for RW in RWs:
+        in_specs.append(
+            pl.BlockSpec((1, RW, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+    inputs.extend(xw)
+
+    out_specs, out_shape, scratch = [], [], []
+    if out_v:
+        out_specs += [
+            pl.BlockSpec((1, RWv, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+            for _ in range(dim)
+        ]
+        out_shape += [jax.ShapeDtypeStruct((nb, RWv, 128), dtype) for _ in range(dim)]
+        scratch += [pltpu.VMEM((RWv, 128), dtype) for _ in range(dim)]
+    if out_p:
+        out_specs.append(
+            pl.BlockSpec((1, RWp, 128), lambda b, c: (b, 0, 0), memory_space=pltpu.VMEM)
+        )
+        out_shape.append(jax.ShapeDtypeStruct((nb, RWp, 128), dtype))
+        scratch.append(pltpu.VMEM((RWp, 128), dtype))
+
+    outs = pl.pallas_call(
+        kernel,
+        grid=(nb, nchunks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=scratch,
+        interpret=interpret,
+    )(*inputs)
+    return outs if isinstance(outs, (list, tuple)) else [outs]
 
 
 # ---------------------------------------------------------------------------

@@ -171,6 +171,8 @@ def wa_pspecs(wa: WindowedAssembly, axis: str = AXIS) -> WindowedAssembly:
         A_const=P(None, None, axis),  # [nl, nli, ncd]
         r_const=P(axis),  # device-major distributed vector
         inv_mp=P(axis),  # [n_ps] = [nb * OWp], block-contiguous
+        Kp_t=P(None, None, axis),  # [k_p, k_p8, ncd]
+        diag_kp=P(axis),  # [n_ps], block-contiguous
     )
 
 

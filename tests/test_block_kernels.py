@@ -1,0 +1,182 @@
+"""Sub-block windowed matvecs (A00 / B / B^T / Kp), the Cahouet-Chabard
+preconditioner, and the Stokes initial-guess path."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from navier_stokes_tpu.config import SolverConfig
+from navier_stokes_tpu.fem.assembly import assemble_navier_stokes, build_context
+from navier_stokes_tpu.fem.dofs import make_dofs, renumber_blocked
+from navier_stokes_tpu.fem.windowed_assembly import build_windowed_assembly
+from navier_stokes_tpu.mesh.generate import unit_square
+from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+from navier_stokes_tpu.ops.windowed import (
+    build_windowed_layout,
+    slice_block,
+    to_block_form,
+    windowed_matvec_block,
+    windowed_matvec_reference,
+)
+from navier_stokes_tpu.utils.logging import RunLog
+
+
+@pytest.fixture(scope="module")
+def setup():
+    mesh = unit_square(6)
+    dofs, bi = renumber_blocked(make_dofs(mesh), cells_per_block=16)
+    ctx = build_context(dofs, neumann_tags=(1,))
+    lay = build_windowed_layout(
+        dofs.cell_vdofs, dofs.cell_pdofs, dofs.n_vs, dofs.n_ps, mesh.dim,
+        block_info=bi,
+    )
+    rng = np.random.default_rng(5)
+    u = jnp.asarray(rng.standard_normal(dofs.n_total))
+    cell_mat, _, _ = assemble_navier_stokes(
+        ctx, u, 0.9 * u, dt=0.1, nu=0.01, rho=1.0, p_out=2.0
+    )
+    A_t = to_block_form(lay, cell_mat)
+    x = jnp.asarray(rng.standard_normal(dofs.n_total))
+    y_full = np.asarray(windowed_matvec_reference(lay, A_t, x))
+    return dofs, ctx, lay, A_t, x, y_full
+
+
+@pytest.mark.parametrize(
+    "ins,outs",
+    [("v", "v"), ("v", "p"), ("p", "v"), ("p", "p")],
+)
+def test_block_matvec_matches_full_slices(setup, ins, outs):
+    """Each sub-block matvec must equal the corresponding segment of the full
+    matvec applied to the zero-extended input."""
+    dofs, ctx, lay, A_t, x, _ = setup
+    n_u = dofs.n_u
+    xf = np.zeros(dofs.n_total)
+    if ins == "v":
+        seg = np.asarray(x)[:n_u]
+        xf[:n_u] = seg
+    else:
+        seg = np.asarray(x)[n_u:]
+        xf[n_u:] = seg
+    y_ref = np.asarray(
+        windowed_matvec_reference(lay, A_t, jnp.asarray(xf))
+    )
+    expect = y_ref[:n_u] if outs == "v" else y_ref[n_u:]
+    A_sub = slice_block(lay, A_t, ins, outs)
+    got = np.asarray(
+        windowed_matvec_block(
+            lay, A_sub, jnp.asarray(seg), in_spaces=ins, out_spaces=outs
+        )
+    )
+    np.testing.assert_allclose(got, expect, rtol=1e-10, atol=1e-12)
+
+
+def test_kp_is_pressure_laplacian(setup):
+    """wa.Kp_t applied through the p->p block kernel equals the assembled
+    P1 Laplacian (checked against a direct numpy assembly)."""
+    dofs, ctx, lay, A_t, x, _ = setup
+    wa = build_windowed_assembly(
+        ctx, lay, dofs, dt=0.1, nu=0.01, rho=1.0, p_out=2.0
+    )
+    p = np.asarray(x)[dofs.n_u :]
+    got = np.asarray(
+        windowed_matvec_block(
+            lay, wa.Kp_t, jnp.asarray(p), in_spaces="p", out_spaces="p"
+        )
+    )
+    # direct numpy: per-cell grad psi contributions
+    import numpy as _np
+
+    from navier_stokes_tpu.fem.geometry import cell_geometry
+    from navier_stokes_tpu.fem.quadrature import gauss_simplex
+
+    quad = gauss_simplex(2, 2 * (dofs.element.velocity.degree + 1) - 1)
+    geo = cell_geometry(dofs.mesh, quad)
+    _, G_p = dofs.element.pressure.tabulate(quad.points)
+    Gp = _np.einsum("cda,bqa->cbqd", geo.invJT, G_p)
+    Kc = _np.einsum("ciqd,cjqd,cq->cij", Gp, Gp, geo.jxw)
+    expect = _np.zeros(dofs.n_ps)
+    pc = p[dofs.cell_pdofs]  # [nc, k_p]
+    yc = _np.einsum("cij,cj->ci", Kc, pc)
+    _np.add.at(expect, dofs.cell_pdofs.ravel(), yc.ravel())
+    _np.testing.assert_allclose(got, expect, rtol=1e-8, atol=1e-10)
+    # exact diagonal stored for the Jacobi sweeps
+    diag = _np.zeros(dofs.n_ps)
+    _np.add.at(diag, dofs.cell_pdofs.ravel(),
+               Kc[:, range(3), range(3)].ravel())
+    real = diag > 0
+    _np.testing.assert_allclose(_np.asarray(wa.diag_kp)[real], diag[real], rtol=1e-8)
+
+
+def _solve(precond, initial_guess="zero", n_devices=None):
+    cfg = SolverConfig(
+        inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+        nu=0.04, p_out=10.0, dt=0.05, T=0.1,
+    )
+    # corrected physics + tight tolerances so different preconditioners reach
+    # the SAME solution: with the reference's omitted continuity residual the
+    # pressure residual rows are identically zero, so roots form a MANIFOLD
+    # and every solver lands on its own point (SURVEY C13 quirk)
+    cfg.include_continuity_residual = True
+    cfg.newton.tol = 1e-8
+    cfg.krylov.rel_tol = 1e-4
+    cfg.krylov.max_iters = 800
+    cfg.krylov.matvec = "windowed"
+    cfg.krylov.cells_per_block = 16
+    cfg.krylov.preconditioner = precond
+    cfg.initial_guess = initial_guess
+    s = NavierStokesSolver(
+        unit_square(3), cfg, log=RunLog(verbose=False), n_devices=n_devices
+    )
+    s.solve()
+    return s
+
+
+def test_cahouet_chabard_converges_to_same_solution():
+    s_id = _solve("identity")
+    s_cc = _solve("cahouet_chabard")
+    v1 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s_id.velocity_coords(real_only=True), s_id.velocity(real_only=True))}
+    v2 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s_cc.velocity_coords(real_only=True), s_cc.velocity(real_only=True))}
+    err = max(np.max(np.abs(v1[k] - v2[k])) for k in v1)
+    assert err < 1e-4  # both Newton-converged to tol 1e-2 (absolute)
+
+
+def test_cahouet_chabard_spmd():
+    s1 = _solve("cahouet_chabard")
+    s2 = _solve("cahouet_chabard", n_devices=2)
+    assert s2._dist is not None
+    v1 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s1.velocity_coords(real_only=True), s1.velocity(real_only=True))}
+    v2 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s2.velocity_coords(real_only=True), s2.velocity(real_only=True))}
+    err = max(np.max(np.abs(v1[k] - v2[k])) for k in v1)
+    # nb_multiple=2 changes block count -> different renumbering/rounding;
+    # both Newton-converged to 1e-8 absolute
+    assert err < 1e-4
+
+
+def test_stokes_initial_guess_reduces_newton_work():
+    """cpp:636-644 designed path: starting from the Stokes solve, the first
+    Newton residual must be far below the zero-start one."""
+    def first_residual(guess):
+        s = _solve("identity", initial_guess=guess)
+        newtons = [r for r in s.log.records if r.get("event") == "newton"]
+        return newtons[0]["residual"], s
+
+    r_zero, _ = first_residual("zero")
+    r_stokes, s = first_residual("stokes")
+    assert r_stokes < 0.2 * r_zero
+    stk = [r for r in s.log.records if r.get("event") == "gmres" and r["system"] == "stokes"]
+    assert stk and stk[0]["iters"] > 0
+
+
+def test_stokes_initial_guess_spmd_matches_single():
+    s1 = _solve("cahouet_chabard", initial_guess="stokes")
+    s2 = _solve("cahouet_chabard", initial_guess="stokes", n_devices=2)
+    v1 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s1.velocity_coords(real_only=True), s1.velocity(real_only=True))}
+    v2 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s2.velocity_coords(real_only=True), s2.velocity(real_only=True))}
+    err = max(np.max(np.abs(v1[k] - v2[k])) for k in v1)
+    assert err < 1e-4

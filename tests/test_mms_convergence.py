@@ -46,7 +46,7 @@ def l2_errors(solver):
     """Quadrature L2 errors of (velocity, pressure), pressure mean-adjusted."""
     dofs = solver.dofs
     mesh = dofs.mesh
-    quad = gauss_simplex(2, 5)
+    quad = gauss_simplex(2, 7)
     geo = cell_geometry(mesh, quad)
     Nv, _ = dofs.element.velocity.tabulate(quad.points)
     Np, _ = dofs.element.pressure.tabulate(quad.points)
@@ -70,10 +70,13 @@ def l2_errors(solver):
     return err_u, err_p
 
 
-def solve_on(n):
+def solve_on(n, deg_v=2, deg_p=1):
     cfg = SolverConfig(
         inlet_tags=(0, 1, 2, 3), neumann_tags=(), wall_tags=(), nu=NU, rho=RHO, p_out=0.0
     )
+    cfg.degree_velocity = deg_v
+    cfg.degree_pressure = deg_p
+    cfg.quadrature_degree = 2 * deg_v
     cfg.krylov.preconditioner = "block_triangular"
     cfg.krylov.stokes_rel_tol = 1e-10
     cfg.krylov.inner_tol = 1e-3
@@ -96,3 +99,17 @@ def test_taylor_hood_convergence_orders():
     assert rate_u[1] > 2.6, (eu, rate_u)
     assert rate_p[1] > 1.6, (ep, rate_p)
     assert eu[-1] < 2e-3 and ep[-1] < 2e-2
+
+
+@pytest.mark.slow
+def test_p3_p2_convergence_orders():
+    """P3/P2 Taylor-Hood: velocity L2 order 4, pressure order 3 (VERDICT r1
+    item 9 — P3 end-to-end through the dof map + solver)."""
+    errors = [l2_errors(solve_on(n, deg_v=3, deg_p=2)) for n in (2, 4, 8)]
+    eu = [e[0] for e in errors]
+    ep = [e[1] for e in errors]
+    rate_u = np.log2(eu[1] / eu[2])
+    rate_p = np.log2(ep[1] / ep[2])
+    assert rate_u > 3.5, (eu, rate_u)
+    assert rate_p > 2.5, (ep, rate_p)
+    assert eu[-1] < 5e-4 and ep[-1] < 5e-3

@@ -119,3 +119,42 @@ def test_full_solve_windowed_spmd_matches_single():
           for c, v in zip(s2.velocity_coords(real_only=True), s2.velocity(real_only=True))}
     err = max(np.max(np.abs(f1[k] - f2[k])) for k in f1)
     assert err < 1e-8
+
+
+def test_cell_owner_and_partitioning_output(tmp_path):
+    """SPMD runs must write REAL cell ownership (cpp:702-705), not zeros."""
+    import h5py
+
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.io.xdmf import XdmfWriter
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    cfg = SolverConfig(inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+                       dt=0.05, T=0.05)
+    cfg.krylov.matvec = "windowed"
+    cfg.krylov.cells_per_block = 16
+    s = NavierStokesSolver(unit_square(4), cfg, log=RunLog(verbose=False),
+                           n_devices=2)
+    s.setup()
+    owner = s.cell_owner
+    assert owner.shape == (s.mesh.n_cells,)
+    assert set(np.unique(owner)) == {0, 1}
+    # roughly balanced (blocked contiguous assignment)
+    assert 0.25 < np.mean(owner == 0) < 0.75
+    w = XdmfWriter(s.dofs, output_dir=str(tmp_path), partitioning=owner)
+    s.output_hooks.append(lambda st, t, sol: w.write(st, t, sol))
+    s.solve()
+    with h5py.File(tmp_path / "output-0001.h5", "r") as f:
+        part = np.asarray(f["partitioning"]).ravel()
+    np.testing.assert_array_equal(part, owner.astype(np.float64))
+
+
+def test_bootstrap_single_process_noop():
+    """initialize_distributed is a strict no-op without multi-host env
+    (main.cpp:7 equivalent stays dormant on one process)."""
+    from navier_stokes_tpu.parallel import bootstrap
+
+    assert bootstrap.initialize_distributed() is False
+    assert bootstrap.process_count() == 1
+    assert bootstrap.is_coordinator()
