@@ -95,21 +95,49 @@ def main():
     t_newton = time.perf_counter() - t0
     gmres_iters = int(newton_out[2])
 
+    extra = {
+        "n_dofs": n,
+        "n_cells": mesh.n_cells,
+        "dtype": DTYPE,
+        "preconditioner": PRECOND,
+        "assembly_ms": round(t_assembly * 1e3, 3),
+        "newton_step_ms": round(t_newton * 1e3, 3),
+        "gmres_iters_first_step": gmres_iters,
+        "device": str(jax.devices()[0]),
+        "baseline_note": "deal.II 1-core assembly est. 0.5 MDoF/s (no published numbers)",
+    }
+
+    if BIG:
+        # the BASELINE.json "GMRES ms per Newton step at 1M DoF" metric:
+        # mesh_poli (DFG channel) refined 2x -> ~1.55M DoF, one chip
+        try:
+            del solver
+            big_path = "/root/reference/mesh/mesh_poli.msh"
+            big = refine_uniform(
+                read_msh(big_path) if os.path.exists(big_path)
+                else rectangle(160, 80, 0, 7, 0, 4),
+                2,
+            )
+            s2 = NavierStokesSolver(big, cfg, log=RunLog(verbose=False))
+            s2.setup()
+            u2, uo2 = s2.solution, s2.solution_old
+            bv2 = jnp.asarray(s2.dirichlet.values(cfg.dt), dtype=u2.dtype)
+            jax.block_until_ready(s2._newton_iteration(u2.copy(), uo2, bv2))
+            t0 = time.perf_counter()
+            out2 = s2._newton_iteration(u2.copy(), uo2, bv2)
+            jax.block_until_ready(out2)
+            extra["n_dofs_big"] = s2.dofs.n_total
+            extra["newton_step_ms_big"] = round((time.perf_counter() - t0) * 1e3, 3)
+            extra["gmres_iters_big"] = int(out2[2])
+        except Exception as e:  # never fail the headline metric
+            extra["big_error"] = f"{type(e).__name__}: {e}"
+
     result = {
         "metric": "ns_assembly_throughput",
         "value": round(mdofs, 3),
         "unit": "MDoF/s",
         "vs_baseline": round(mdofs / BASELINE_ASSEMBLY_MDOFS, 2),
-        "extra": {
-            "n_dofs": n,
-            "n_cells": mesh.n_cells,
-            "dtype": DTYPE,
-            "assembly_ms": round(t_assembly * 1e3, 3),
-            "newton_step_ms": round(t_newton * 1e3, 3),
-            "gmres_iters_first_step": gmres_iters,
-            "device": str(jax.devices()[0]),
-            "baseline_note": "deal.II 1-core assembly est. 0.5 MDoF/s (no published numbers)",
-        },
+        "extra": extra,
     }
     print(json.dumps(result))
 

@@ -43,6 +43,11 @@ class KrylovConfig:
     # 2 ~ 2e-5 relative (ample for the rel_tol 1e-2 tangent solves), 1 = bf16.
     # Assembly gathers/scatters always use the exact 3-term split.
     matvec_passes: int = 2
+    # bf16 value-split passes for PRECONDITIONER matvecs (A00/B/Kp inner
+    # sweeps).  The preconditioner only steers FGMRES, so 1 (pure bf16,
+    # ~2x faster selection matmuls) is safe; the outer operator keeps
+    # matvec_passes.
+    precond_passes: int = 1
     inner_tol: float = 1e-2  # hpp:542,599
     inner_max_iters: int = 2000  # hpp:598
     # cahouet_chabard inner sweep lengths (fixed-iteration Jacobi-CG on the

@@ -240,7 +240,8 @@ def _neumann_residual(ctx: FEMContext, p_out: float) -> jax.Array:
 @partial(
     jax.jit,
     static_argnames=(
-        "dt",
+        # dt is NOT static: the BDF2 scheme passes it as a traced scalar
+        # (models/navier_stokes.py newton_iteration's dt_res)
         "nu",
         "rho",
         "p_out",

@@ -16,12 +16,18 @@ import numpy as np
 __all__ = ["save_checkpoint", "load_checkpoint"]
 
 
-def save_checkpoint(path, *, solution, solution_old, time, step, config=None):
+def save_checkpoint(
+    path, *, solution, solution_old, time, step, config=None, solution_old2=None
+):
     import h5py
 
     with h5py.File(path, "w") as f:
         f.create_dataset("solution", data=np.asarray(solution, dtype=np.float64))
         f.create_dataset("solution_old", data=np.asarray(solution_old, dtype=np.float64))
+        if solution_old2 is not None:  # BDF2 second history level
+            f.create_dataset(
+                "solution_old2", data=np.asarray(solution_old2, dtype=np.float64)
+            )
         f.attrs["time"] = float(time)
         f.attrs["step"] = int(step)
         if config is not None:
@@ -39,6 +45,8 @@ def load_checkpoint(path):
             "time": float(f.attrs["time"]),
             "step": int(f.attrs["step"]),
         }
+        if "solution_old2" in f:
+            out["solution_old2"] = f["solution_old2"][:]
         if "config" in f.attrs:
             out["config"] = json.loads(f.attrs["config"])
     return out

@@ -94,6 +94,11 @@ class NavierStokesSolver:
         log.rule()
 
         log.print("Initializing the finite element space")
+        if cfg.time_scheme not in ("bdf1", "bdf2"):
+            raise ValueError(f"unknown time_scheme {cfg.time_scheme!r}")
+        # the tangent's time-term step: BDF2's mass coefficient is 3/(2 dt)
+        # = 1/(dt/1.5); the windowed A_const is prebuilt with it
+        self._dt_tangent = cfg.dt / 1.5 if cfg.time_scheme == "bdf2" else cfg.dt
         self.dofs = make_dofs(self.mesh, cfg.degree_velocity, cfg.degree_pressure)
         self._win_layout = None
         self._wassembly = None
@@ -208,7 +213,7 @@ class NavierStokesSolver:
                 self.ctx,
                 self._win_layout,
                 self.dofs,
-                dt=cfg.dt,
+                dt=self._dt_tangent,
                 nu=cfg.nu,
                 rho=cfg.rho,
                 p_out=cfg.p_out,
@@ -326,7 +331,9 @@ class NavierStokesSolver:
 
         n = lay.dim * lay.n_vs + lay.n_ps  # local length under SPMD
         n_u = lay.dim * lay.n_vs
-        passes = cfg.krylov.matvec_passes
+        # preconditioner matvecs run at reduced precision (default pure bf16):
+        # M only steers FGMRES, the outer operator keeps matvec_passes
+        passes = cfg.krylov.precond_passes
         inv_mp = wa.inv_mp
 
         # Jacobi diagonal of A00 with symmetric-BC replacement (sentinel
@@ -364,10 +371,13 @@ class NavierStokesSolver:
 
             pKp = jacobi(wa.diag_kp)
             if mass_coef is None:
-                # implicit-Euler tangent: A00 ~ (rho/dt) M => S^-1's Laplacian
-                # term carries rho/dt.  Steady Stokes passes 0.0 (pure
+                # time-stepping tangent: A00 ~ coef/dt_tangent * M => S^-1's
+                # Laplacian term carries the same coefficient (BDF2 folds its
+                # 3/2 into _dt_tangent).  Steady Stokes passes 0.0 (pure
                 # pressure-mass Schur), cpp:546-552.
-                mass_coef = (cfg.rho if cfg.jacobian_mass_rho else 1.0) / cfg.dt
+                mass_coef = (
+                    cfg.rho if cfg.jacobian_mass_rho else 1.0
+                ) / self._dt_tangent
 
             def apply(v):
                 vu, vp = v[:n_u], v[n_u:]
@@ -426,13 +436,21 @@ class NavierStokesSolver:
         cfg = self.cfg
         n = self.dofs.n_total
 
-        def newton_iteration(ctx, wa, lay, u, u_old, bc_rows, bc_vals, axis_name=None):
+        def newton_iteration(
+            ctx, wa, lay, u, u_old, bc_rows, bc_vals, dt_res, axis_name=None
+        ):
             # ctx / wa / lay are pytree ARGUMENTS (not closures): their
             # multi-hundred-MB arrays must be runtime parameters, not
             # constants baked into the compiled program.  Under windowed SPMD
             # (axis_name set) every vector here is the device's local chunk,
             # bc_rows/bc_vals are local sentinel-padded arrays, and the only
             # collectives are the O(halo) ppermutes + dot psums.
+            #
+            # dt_res (traced scalar): the RESIDUAL's time-term step.  BDF1:
+            # cfg.dt always.  BDF2: cfg.dt/1.5 with u_old = (4u^n - u^{n-1})/3
+            # gives exactly rho/(2 dt) (3u - 4u^n + u^{n-1}); its FIRST step
+            # passes cfg.dt + u^0 (an exact BDF1 residual under the BDF2
+            # tangent - quasi-Newton with an unchanged root).
             from ..la.gmres import _norm
 
             if lay is not None:
@@ -446,7 +464,7 @@ class NavierStokesSolver:
                     lay,
                     u,
                     u_old,
-                    dt=cfg.dt,
+                    dt=dt_res,
                     nu=cfg.nu,
                     rho=cfg.rho,
                     convection_form=cfg.convection_form,
@@ -458,7 +476,7 @@ class NavierStokesSolver:
                     ctx,
                     u,
                     u_old,
-                    dt=cfg.dt,
+                    dt=dt_res,
                     nu=cfg.nu,
                     rho=cfg.rho,
                     p_out=cfg.p_out,
@@ -546,45 +564,55 @@ class NavierStokesSolver:
             bcl = jnp.asarray(self._bc_local)  # [n_dev, m] local rows
             sh = P(wspmd.AXIS)
             wrapped = shard_map(
-                lambda wa, lay, u, uo, br, bv: newton_iteration(
-                    None, wa, lay, u, uo, br[0], bv[0], axis_name=wspmd.AXIS
+                lambda wa, lay, u, uo, br, bv, dtr: newton_iteration(
+                    None, wa, lay, u, uo, br[0], bv[0], dtr, axis_name=wspmd.AXIS
                 ),
                 self.spmd_mesh,
                 in_specs=(
                     wspmd.wa_pspecs(wa_s), wspmd.layout_pspecs(lay_s),
-                    sh, sh, sh, sh,
+                    sh, sh, sh, sh, P(),
                 ),
                 out_specs=(sh, P(), P(), P(), P()),
             )
             self.newton_iteration_fn = lambda u, uo, bv: wrapped(
-                wa_s, lay_s, u, uo, bcl, bv
+                wa_s, lay_s, u, uo, bcl, bv, jnp.asarray(cfg.dt, self._dtype)
             )
-            self._newton_iteration = jax.jit(self.newton_iteration_fn, donate_argnums=(0,))
+            self._newton_iteration = jax.jit(
+                lambda u, uo, bv, dtr: wrapped(wa_s, lay_s, u, uo, bcl, bv, dtr),
+                donate_argnums=(0,),
+            )
         elif self.spmd_mesh is not None:
             from jax.sharding import PartitionSpec as P
 
             from ..parallel.spmd import context_pspecs, shard_map
 
             wrapped = shard_map(
-                lambda ctx, u, uo, bv: newton_iteration(
-                    ctx, None, None, u, uo, bc_rows, bv
+                lambda ctx, u, uo, bv, dtr: newton_iteration(
+                    ctx, None, None, u, uo, bc_rows, bv, dtr
                 ),
                 self.spmd_mesh,
-                in_specs=(context_pspecs(self.ctx), P(), P(), P()),
+                in_specs=(context_pspecs(self.ctx), P(), P(), P(), P()),
                 out_specs=(P(), P(), P(), P(), P()),
             )
             ctx = self.ctx
-            self.newton_iteration_fn = lambda u, uo, bv: wrapped(ctx, u, uo, bv)
-            self._newton_iteration = jax.jit(self.newton_iteration_fn, donate_argnums=(0,))
+            self.newton_iteration_fn = lambda u, uo, bv: wrapped(
+                ctx, u, uo, bv, jnp.asarray(cfg.dt, self._dtype)
+            )
+            self._newton_iteration = jax.jit(
+                lambda u, uo, bv, dtr: wrapped(ctx, u, uo, bv, dtr),
+                donate_argnums=(0,),
+            )
         else:
             jitted = jax.jit(newton_iteration, donate_argnums=(3,), static_argnames=("axis_name",))
-            self._newton_iteration = lambda u, uo, bv: jitted(
-                self.ctx, self._wassembly, self._win_layout, u, uo, bc_rows, bv
+            self._newton_iteration = lambda u, uo, bv, dtr=None: jitted(
+                self.ctx, self._wassembly, self._win_layout, u, uo, bc_rows, bv,
+                jnp.asarray(cfg.dt if dtr is None else dtr, self._dtype),
             )
             # newton_iteration_fn: un-donated jittable variant for external
             # callers that reuse their arrays (compile checks, benchmarking)
             self.newton_iteration_fn = lambda u, uo, bv: newton_iteration(
-                self.ctx, self._wassembly, self._win_layout, u, uo, bc_rows, bv
+                self.ctx, self._wassembly, self._win_layout, u, uo, bc_rows, bv,
+                jnp.asarray(cfg.dt, self._dtype),
             )
 
     # ------------------------------------------------------------------
@@ -708,6 +736,12 @@ class NavierStokesSolver:
     def solve_newton(self):
         """Newton loop with parity logging (cpp:590-627)."""
         cfg, log = self.cfg, self.log
+        # residual time-term: BDF1 always; BDF2 once two history levels exist
+        u_old_arg = self.solution_old
+        dt_res = cfg.dt
+        if cfg.time_scheme == "bdf2" and getattr(self, "solution_old2", None) is not None:
+            u_old_arg = (4.0 * self.solution_old - self.solution_old2) / 3.0
+            dt_res = cfg.dt / 1.5
         vals = np.asarray(self.dirichlet.values(self.time))
         if self._dist is not None:
             from ..parallel.windowed_spmd import localize_values
@@ -723,7 +757,7 @@ class NavierStokesSolver:
             log.print("Assembling the system")
             with self.timers("newton_iteration"):
                 self.solution, rn, gmres_iters, kconv, kres = self._newton_iteration(
-                    self.solution, self.solution_old, bc_vals
+                    self.solution, u_old_arg, bc_vals, dt_res
                 )
                 res_norm = float(rn)  # host sync inside the timed region
             log.banner()
@@ -849,6 +883,7 @@ class NavierStokesSolver:
             self._step = step
             # copy (not alias): the Newton kernel donates `solution`, and a
             # donated buffer must not also be passed as solution_old
+            self.solution_old2 = self.solution_old if step > 1 else None
             self.solution_old = self.solution.copy()
             log.time_step(step, self.time)
             if self._forcing_time_dep:

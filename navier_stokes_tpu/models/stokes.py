@@ -39,6 +39,7 @@ class StokesSolver:
         log: RunLog | None = None,
         forcing=None,
         inlet=None,
+        n_devices: int | None = None,
     ):
         if config is None:
             # reference Stokes-path defaults: mesh-square tags, tol 1e-6,
@@ -52,10 +53,31 @@ class StokesSolver:
         self.inlet = inlet or InletVelocity(
             u_m=cfg.inlet.u_m, H=cfg.inlet.H, freeze_time=cfg.inlet.freeze_time
         )
+        self.n_devices = n_devices
         self._is_setup = False
 
     def setup(self):
         cfg = self.cfg
+        if cfg.krylov.matvec == "windowed":
+            # windowed (and SPMD) Stokes rides the NavierStokesSolver's
+            # machinery: blocked renumbering, windowed Stokes operator,
+            # halo-exchange sharding (stokes_initial_guess, cpp:533-559)
+            from .navier_stokes import NavierStokesSolver
+
+            self._ns = NavierStokesSolver(
+                self.mesh, self.cfg, log=RunLog(verbose=False),
+                forcing=self.forcing, inlet=self.inlet, n_devices=self.n_devices,
+            )
+            self._ns.setup()
+            if self._ns._win_layout is not None:
+                self.dofs = self._ns.dofs
+                self._dtype = self._ns._dtype
+                self.dirichlet = self._ns.dirichlet
+                self._is_setup = True
+                return self
+            self._ns = None  # layout infeasible: fall through to flat
+        else:
+            self._ns = None
         self.dofs = make_dofs(self.mesh, cfg.degree_velocity, cfg.degree_pressure)
         self._dtype = {
             "auto": jnp.float64 if jax.config.jax_enable_x64 else jnp.float32,
@@ -147,9 +169,17 @@ class StokesSolver:
         self._solve_fn = jax.jit(solve_fn)
 
     def solve(self, t: float = 0.0):
-        """Assemble + solve (cpp:533-559); returns the solution vector."""
+        """Assemble + solve (cpp:533-559); returns the solution vector
+        (PLANAR layout, also under windowed SPMD)."""
         if not self._is_setup:
             self.setup()
+        if self._ns is not None:
+            x = self._ns.stokes_initial_guess(t)
+            self.solution = jnp.asarray(self._ns._planar(x), dtype=self._dtype)
+            gm = [r for r in self._ns.log.records if r.get("event") == "gmres"]
+            if gm:  # surface the delegate's iteration count
+                self.log.gmres_iters(int(gm[-1]["iters"]), system="stokes")
+            return self.solution
         self.log.banner()
         self.log.print("Assembling the Stokes system")
         bc_vals = jnp.asarray(self.dirichlet.values(t), dtype=self._dtype)
@@ -159,9 +189,15 @@ class StokesSolver:
         self.solution = x
         return x
 
-    def velocity(self) -> np.ndarray:
+    def velocity(self, real_only: bool = False) -> np.ndarray:
         s = np.asarray(self.solution)
-        return s[: self.dofs.n_u].reshape(self.dofs.dim, self.dofs.n_vs).T
+        v = s[: self.dofs.n_u].reshape(self.dofs.dim, self.dofs.n_vs).T
+        if real_only and self.dofs.v_mask is not None:
+            v = v[self.dofs.v_mask]
+        return v
 
-    def pressure(self) -> np.ndarray:
-        return np.asarray(self.solution)[self.dofs.n_u :]
+    def pressure(self, real_only: bool = False) -> np.ndarray:
+        p = np.asarray(self.solution)[self.dofs.n_u :]
+        if real_only and self.dofs.p_mask is not None:
+            p = p[self.dofs.p_mask]
+        return p

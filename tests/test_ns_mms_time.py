@@ -65,11 +65,12 @@ def inlet(x, t=0.0):
     return np.stack([np.broadcast_to(u1, n), np.broadcast_to(u2, n)], axis=1)
 
 
-def solve_ns(n, dt, T):
+def solve_ns(n, dt, T, scheme="bdf1"):
     cfg = SolverConfig(
         inlet_tags=(0, 1, 2, 3), neumann_tags=(), wall_tags=(),
         nu=NU, rho=RHO, p_out=0.0, dt=dt, T=T,
     )
+    cfg.time_scheme = scheme
     cfg.convection_form = "standard"
     cfg.include_continuity_residual = True
     cfg.jacobian_mass_rho = True
@@ -112,6 +113,33 @@ def test_implicit_euler_temporal_order():
     d2 = np.linalg.norm(sols[0.05] - sols[0.025])
     rate = np.log2(d1 / d2)
     assert 0.7 < rate < 1.4, (d1, d2, rate)
+
+
+@pytest.mark.slow
+def test_bdf2_temporal_order():
+    """BDF2 (time_scheme='bdf2'): difference ratios ~ 4 (temporal order 2).
+    Exercises the BDF1-bootstrap first step + the (4u^n - u^{n-1})/3 history
+    combination through the same Newton kernel."""
+    T = 0.4
+    sols = {
+        dt: np.asarray(solve_ns(8, dt, T, scheme="bdf2").solution)
+        for dt in (0.1, 0.05, 0.025)
+    }
+    d1 = np.linalg.norm(sols[0.1] - sols[0.05])
+    d2 = np.linalg.norm(sols[0.05] - sols[0.025])
+    rate = np.log2(d1 / d2)
+    assert 1.6 < rate < 2.6, (d1, d2, rate)
+
+
+@pytest.mark.slow
+def test_bdf2_beats_bdf1_accuracy():
+    """Temporal error vs a time-converged reference on the SAME mesh (the
+    shared spatial error cancels in the state-vector comparison)."""
+    T = 0.4
+    ref = np.asarray(solve_ns(8, 0.00625, T, scheme="bdf2").solution)
+    e1 = np.linalg.norm(np.asarray(solve_ns(8, 0.05, T, scheme="bdf1").solution) - ref)
+    e2 = np.linalg.norm(np.asarray(solve_ns(8, 0.05, T, scheme="bdf2").solution) - ref)
+    assert e2 < 0.25 * e1, (e1, e2)
 
 
 @pytest.mark.slow

@@ -76,3 +76,32 @@ def test_stokes_reference_square_mesh(ref_mesh_dir):
     assert np.max(np.abs(u[bd])) < 1e-8  # Dirichlet rows exactly honored
     assert np.max(np.abs(u)) < 1e-4  # hydrostatic state: no flow
     assert np.allclose(solver.pressure(), POUT, atol=1e-3)
+
+
+@pytest.mark.parametrize("n_dev", [None, 2])
+def test_stokes_windowed_matches_exact(n_dev):
+    """StokesSolver with matvec='windowed' (delegating to the windowed/SPMD
+    Stokes machinery) reproduces Poiseuille exactly too."""
+    cfg = SolverConfig(
+        inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3), nu=NU, rho=RHO, p_out=POUT
+    )
+    cfg.krylov.matvec = "windowed"
+    cfg.krylov.cells_per_block = 16
+    cfg.krylov.preconditioner = "block_triangular"
+    cfg.krylov.max_iters = 4000
+    solver = StokesSolver(
+        unit_square(4), cfg, log=RunLog(verbose=False), inlet=poiseuille_inlet,
+        n_devices=n_dev,
+    )
+    solver.solve()
+    assert solver._ns is not None  # actually took the windowed path
+    mask = solver.dofs.v_mask
+    u = solver.velocity(real_only=True)
+    ue = exact_velocity(solver.dofs.v_coords[mask])
+    np.testing.assert_allclose(u, ue, atol=3e-5)
+    pmask = solver.dofs.p_mask
+    p = solver.pressure(real_only=True)
+    pe = exact_pressure(solver.dofs.p_coords[pmask])
+    np.testing.assert_allclose(p, pe, atol=3e-4)
+    gm = [r for r in solver.log.records if r.get("event") == "gmres"]
+    assert gm and gm[-1]["system"] == "stokes"
