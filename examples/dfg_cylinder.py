@@ -61,7 +61,15 @@ def main():
     def inflow(x, t=0.0):
         v = np.zeros_like(x)
         y = x[:, 1] + 0.2  # channel occupies y in [-0.2, 0.21]
-        v[:, 0] = 4.0 * u_m * y * (H - y) / H**2
+        prof = 4.0 * y * (H - y) / H**2
+        v[:, 0] = u_m * prof
+        # symmetry-breaking kick: one sine period of cross-flow during
+        # t in [0, 1].  From an impulsive symmetric start the Karman
+        # instability otherwise grows from round-off only (tens of seconds
+        # of physical time); the kick seeds it at finite amplitude and the
+        # limit cycle is independent of the seed.
+        if t < 1.0:
+            v[:, 1] = 0.3 * u_m * np.sin(2.0 * np.pi * t) * prof
         return v
 
     mesh = retag_boundary(
