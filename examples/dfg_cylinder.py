@@ -80,9 +80,15 @@ def main():
     cfg.include_continuity_residual = True
     cfg.jacobian_mass_rho = True
     cfg.time_scheme = "bdf2"
-    cfg.newton.tol = 1e-4
-    cfg.newton.max_iters = 12
-    cfg.krylov.max_iters = 2000
+    # tol must sit far below the residual of the SMALLEST dynamics of
+    # interest (an absolute tol of 1e-4 makes Newton exit at iteration 0
+    # once the flow is near-steady, freezing the solution exactly and
+    # quenching the Karman instability below that amplitude) — but ABOVE
+    # the f32 residual-evaluation floor (~1e-6), else every step burns
+    # max_iters stalled GMRES solves chasing an unreachable tolerance
+    cfg.newton.tol = 1e-5
+    cfg.newton.max_iters = 8
+    cfg.krylov.max_iters = 600
     cfg.krylov.matvec = "windowed"
     cfg.krylov.preconditioner = "cahouet_chabard"
 

@@ -34,6 +34,11 @@ def _add_common(p):
         "the reference's MPI_InitFinalize (main.cpp:7)",
     )
     p.add_argument("--matvec", choices=["flat", "windowed"])
+    p.add_argument("--time-scheme", dest="time_scheme", choices=["bdf1", "bdf2"])
+    p.add_argument(
+        "--initial-guess", dest="initial_guess", choices=["zero", "stokes"],
+        help="'stokes' = the reference's designed initial-guess path (cpp:636-644)",
+    )
     p.add_argument("--dtype", choices=["auto", "float32", "float64"])
     p.add_argument("--devices", type=int, help="shard over N devices (SPMD)")
     p.add_argument("--output-dir", help="write XDMF/HDF5 output here")
@@ -56,6 +61,10 @@ def _build_config(args):
         cfg.T = args.T
     if getattr(args, "dt", None) is not None:
         cfg.dt = args.dt
+    if getattr(args, "time_scheme", None):
+        cfg.time_scheme = args.time_scheme
+    if getattr(args, "initial_guess", None):
+        cfg.initial_guess = args.initial_guess
     return cfg
 
 

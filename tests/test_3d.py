@@ -102,3 +102,29 @@ def test_backward_step_mesh_solve(ref_mesh_dir):
     solver = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False))
     sol = solver.solve()
     assert np.all(np.isfinite(np.asarray(sol)))
+
+
+def test_cahouet_chabard_3d_windowed():
+    """CC preconditioner through the windowed path in 3D (Kp assembly +
+    outflow pinning are dim-generic); solution matches the flat/identity run."""
+    cfg = box_cfg()
+    cfg.include_continuity_residual = True
+    cfg.newton.tol = 1e-8
+    cfg.krylov.rel_tol = 1e-5
+    cfg.krylov.matvec = "windowed"
+    cfg.krylov.cells_per_block = 16
+    cfg.krylov.preconditioner = "cahouet_chabard"
+    s1 = NavierStokesSolver(box(2, 2, 2), cfg, log=RunLog(verbose=False))
+    s1.solve()
+    cfg2 = box_cfg()
+    cfg2.include_continuity_residual = True
+    cfg2.newton.tol = 1e-8
+    cfg2.krylov.rel_tol = 1e-5
+    s2 = NavierStokesSolver(box(2, 2, 2), cfg2, log=RunLog(verbose=False))
+    s2.solve()
+    v1 = {tuple(np.round(c, 10)): v for c, v in
+          zip(s1.velocity_coords(real_only=True), s1.velocity(real_only=True))}
+    v2 = {tuple(np.round(c, 10)): v for c, v in
+          zip(s2.velocity_coords(real_only=True), s2.velocity(real_only=True))}
+    err = max(np.max(np.abs(v1[k] - v2[k])) for k in v1)
+    assert err < 1e-5, err
