@@ -96,24 +96,32 @@ def main():
     solver = ns.NavierStokesSolver(mesh, cfg, log=log, inlet=inflow)
     solver.setup()
     force = BoundaryForce(solver.dofs, tags=(13,), nu=cfg.nu, rho=cfg.rho)
+    scale = 2.0 / (cfg.rho * u_mean**2 * D)
 
     series = []
     t_start = time.time()
 
-    def track(step, t, sol):
-        cd, cl = force.coefficients(sol, u_mean=u_mean, length=D)
-        series.append({"step": step, "t": t, "cd": cd, "cl": cl})
-        if step % 200 == 0:
-            newtons = [r for r in log.records if r.get("event") == "newton"]
-            print(
-                f"step {step:5d}  t={t:7.3f}  Cd={cd:+.4f}  Cl={cl:+.4f}  "
-                f"wall={time.time()-t_start:7.1f}s  newton_recs={len(newtons)}",
-                flush=True,
-            )
-            _dump(outdir, re, dt, series, time.time() - t_start, partial=True)
+    def progress(step, t, f_chunk):
+        k0 = len(series)
+        for i, f in enumerate(np.asarray(f_chunk)):
+            series.append({
+                "step": k0 + i + 1, "t": (k0 + i + 1) * dt,
+                "cd": float(f[0] * scale), "cl": float(f[1] * scale),
+            })
+        s = series[-1]
+        print(
+            f"step {step:5d}  t={t:7.3f}  Cd={s['cd']:+.4f}  Cl={s['cl']:+.4f}  "
+            f"wall={time.time()-t_start:7.1f}s",
+            flush=True,
+        )
+        _dump(outdir, re, dt, series, time.time() - t_start, partial=True)
 
-    solver.output_hooks.append(track)
-    solver.solve()
+    # device-resident scanned time loop: ONE host round trip per chunk —
+    # per-step host<->device traffic (BC upload, functional/residual
+    # download) otherwise dominates wall time on high-latency links
+    solver.solve_scanned(
+        functional=force._force, chunk=200, newton_iters=3, progress=progress
+    )
     wall = time.time() - t_start
     _dump(outdir, re, dt, series, wall, partial=False)
     tail = series[int(len(series) * (1 - STATS_FRACTION)):]

@@ -614,6 +614,8 @@ class NavierStokesSolver:
                 self.ctx, self._wassembly, self._win_layout, u, uo, bc_rows, bv,
                 jnp.asarray(cfg.dt, self._dtype),
             )
+        # raw body for the device-resident scanned time loop (solve_scanned)
+        self._newton_body = newton_iteration
 
     # ------------------------------------------------------------------
     def stokes_initial_guess(self, t: float | None = None):
@@ -894,6 +896,135 @@ class NavierStokesSolver:
             log.print()
         return self.solution
 
+    def solve_scanned(
+        self,
+        *,
+        functional=None,
+        chunk: int = 100,
+        newton_iters: int = 3,
+        resume: bool = False,
+        progress=None,
+    ):
+        """Device-resident time loop: ``lax.scan`` over time steps.
+
+        The reference's host time loop (cpp:629-679) costs several
+        host<->device round trips per step (BC values up, residual norms and
+        functionals down).  On TPU the natural shape is a scanned loop: the
+        whole Dirichlet schedule is precomputed host-side and shipped once
+        per chunk, each step runs a FIXED number of Newton iterations
+        (each still ``lax.cond``-skipped once converged), and per-step
+        functionals (e.g. the DFG boundary force) are evaluated on device
+        and returned as stacked arrays — one round trip per ``chunk`` steps.
+
+        functional: jittable f(solution) -> vector evaluated after each step.
+        progress:  optional host callback (step, t, fvals_chunk) per chunk.
+        Returns dict with per-step arrays: "functional" [n_steps, ...],
+        "residual" [n_steps] (post-Newton), "gmres_iters" [n_steps].
+
+        Restrictions: single-device (no SPMD), static forcing, no per-step
+        output hooks (write checkpoints/fields at chunk boundaries instead).
+        """
+        if not self._is_setup:
+            self.setup()
+        cfg, log = self.cfg, self.log
+        if self._dist is not None or self.spmd_mesh is not None:
+            raise NotImplementedError("solve_scanned is single-device")
+        if self._forcing_time_dep:
+            raise NotImplementedError("solve_scanned needs static forcing")
+        if not resume:
+            self.time = 0.0
+            self._step = 0
+            if cfg.initial_guess == "stokes":
+                self.solution = jnp.asarray(
+                    self.stokes_initial_guess(0.0), dtype=self._dtype
+                )
+            else:
+                self.solution = jnp.zeros(self.dofs.n_total, dtype=self._dtype)
+            self.solution_old = self.solution.copy()
+            self.solution_old2 = None
+
+        n_steps = int(round((cfg.T - self.time) / cfg.dt))
+        t0 = self.time
+        # host-precomputed Dirichlet schedule [n_steps, n_bc]
+        bc_sched = np.stack(
+            [
+                np.asarray(self.dirichlet.values(t0 + (k + 1) * cfg.dt))
+                for k in range(n_steps)
+            ]
+        ).astype(self._dtype)
+
+        ctx, wa, lay = self.ctx, self._wassembly, self._win_layout
+        bc_rows = self._bc_rows
+        body = self._newton_body
+        bdf2 = cfg.time_scheme == "bdf2"
+        dt_res1 = jnp.asarray(cfg.dt, self._dtype)
+        dt_res2 = jnp.asarray(cfg.dt / 1.5, self._dtype)
+        K = int(newton_iters)
+
+        def step_fn(carry, bc_vals):
+            u, uo, uo2, kstep = carry
+            if bdf2:
+                use2 = kstep >= 1  # step 0 of the run bootstraps with BDF1
+                u_old_eff = jnp.where(use2, (4.0 * u - uo) / 3.0, u)
+                dt_res = jnp.where(use2, dt_res2, dt_res1)
+            else:
+                u_old_eff = u
+                dt_res = dt_res1
+            uo2_n, uo_n = uo, u
+            uu = u
+            res = jnp.zeros((), self._dtype)
+            iters = jnp.int32(0)
+            for _ in range(K):
+                uu, res, it, _kc, _kr = body(
+                    ctx, wa, lay, uu, u_old_eff, bc_rows, bc_vals, dt_res
+                )
+                iters = iters + it
+            f = functional(uu) if functional is not None else jnp.zeros((1,), self._dtype)
+            return (uu, uo_n, uo2_n, kstep + 1), (f, res, iters)
+
+        @jax.jit
+        def run_chunk(u, uo, uo2, kstep, bc_chunk):
+            (u, uo, uo2, kstep), ys = jax.lax.scan(
+                step_fn, (u, uo, uo2, kstep), bc_chunk
+            )
+            return u, uo, uo2, kstep, ys
+
+        u = self.solution
+        uo = self.solution_old
+        uo2 = self.solution_old2 if self.solution_old2 is not None else uo
+        kstep = jnp.int32(getattr(self, "_step", 0))
+        fs, rs, its = [], [], []
+        log.banner()
+        log.print(
+            f"Scanned time loop: {n_steps} steps x {K} Newton its, "
+            f"chunk {chunk} ({cfg.time_scheme})"
+        )
+        done = 0
+        while done < n_steps:
+            m = min(chunk, n_steps - done)
+            bc_chunk = jnp.asarray(bc_sched[done : done + m])
+            u, uo, uo2, kstep, (f, r, it) = run_chunk(u, uo, uo2, kstep, bc_chunk)
+            jax.block_until_ready(u)
+            done += m
+            self.time = t0 + done * cfg.dt
+            self._step = int(getattr(self, "_step", 0)) + m
+            fs.append(np.asarray(f))
+            rs.append(np.asarray(r))
+            its.append(np.asarray(it))
+            log.print(
+                f"  step {self._step:6d}  t = {self.time:.4f}  "
+                f"||r|| = {float(rs[-1][-1]):.3e}  gmres/step ~ {float(np.mean(its[-1])):.0f}"
+            )
+            if progress is not None:
+                progress(self._step, self.time, fs[-1])
+        self.solution, self.solution_old = u, uo
+        self.solution_old2 = uo2
+        return {
+            "functional": np.concatenate(fs) if functional is not None else None,
+            "residual": np.concatenate(rs),
+            "gmres_iters": np.concatenate(its),
+        }
+
     def _update_forcing(self, t: float):
         """Re-evaluate a time-dependent forcing f(x, t) at the new time level
         and swap it into the jitted kernels' pytree inputs (ctx.f_q for the
@@ -932,7 +1063,10 @@ class NavierStokesSolver:
     def _output(self, step: int, t: float):
         if not self.output_hooks:
             return
-        sol = self._planar(self.solution)
+        # single-device planar layout is the identity: hand hooks the DEVICE
+        # array so device-side functionals (e.g. BoundaryForce) fetch only
+        # scalars; numpy consumers np.asarray() it themselves (one D2H).
+        sol = self.solution if self._dist is None else self._planar(self.solution)
         for hook in self.output_hooks:
             hook(step, t, sol)
 

@@ -1,0 +1,58 @@
+"""Device-resident scanned time loop (solve_scanned): must reproduce the
+host-driven solve() trajectory with fixed Newton sweeps per step, and return
+per-step functional/diagnostic arrays with one host round trip per chunk."""
+
+import numpy as np
+import pytest
+
+from navier_stokes_tpu.config import SolverConfig
+from navier_stokes_tpu.mesh.generate import unit_square
+from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+from navier_stokes_tpu.utils.logging import RunLog
+
+
+def _mk(scheme="bdf2"):
+    cfg = SolverConfig(inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+                       nu=0.04, p_out=10.0, dt=0.05, T=0.25)
+    cfg.include_continuity_residual = True
+    cfg.convection_form = "standard"
+    cfg.jacobian_mass_rho = True
+    cfg.time_scheme = scheme
+    cfg.newton.tol = 1e-10
+    cfg.krylov.rel_tol = 1e-6
+    cfg.krylov.matvec = "windowed"
+    cfg.krylov.cells_per_block = 16
+    cfg.krylov.preconditioner = "cahouet_chabard"
+    return NavierStokesSolver(unit_square(3), cfg, log=RunLog(verbose=False))
+
+
+@pytest.mark.parametrize("scheme", ["bdf1", "bdf2"])
+def test_scanned_matches_host_loop(scheme):
+    s1 = _mk(scheme)
+    s1.solve()
+    s2 = _mk(scheme)
+    out = s2.solve_scanned(newton_iters=4, chunk=2)
+    d = float(np.max(np.abs(np.asarray(s1.solution) - np.asarray(s2.solution))))
+    assert d < 1e-6, d
+    assert out["residual"].shape == (5,)
+    assert out["gmres_iters"].shape == (5,)
+    # every step after the first must have Newton-converged far below tol
+    assert np.all(out["residual"][1:] < 1e-8)
+
+
+def test_scanned_functional_and_progress():
+    s = _mk()
+    calls = []
+
+    def functional(u):
+        import jax.numpy as jnp
+
+        return jnp.stack([jnp.linalg.norm(u), u.sum()])
+
+    out = s.solve_scanned(
+        functional=functional, newton_iters=3, chunk=3,
+        progress=lambda step, t, f: calls.append((step, t, f.shape)),
+    )
+    assert out["functional"].shape == (5, 2)
+    assert np.all(np.isfinite(out["functional"]))
+    assert [c[0] for c in calls] == [3, 5]
