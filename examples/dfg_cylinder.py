@@ -80,13 +80,13 @@ def main():
     cfg.include_continuity_residual = True
     cfg.jacobian_mass_rho = True
     cfg.time_scheme = "bdf2"
-    # tol must sit far below the residual of the SMALLEST dynamics of
-    # interest (an absolute tol of 1e-4 makes Newton exit at iteration 0
-    # once the flow is near-steady, freezing the solution exactly and
-    # quenching the Karman instability below that amplitude) — but ABOVE
-    # the f32 residual-evaluation floor (~1e-6), else every step burns
-    # max_iters stalled GMRES solves chasing an unreachable tolerance
-    cfg.newton.tol = 1e-5
+    # tol 1e-4 with min_iters=1: an absolute tol alone makes Newton exit at
+    # iteration 0 once the flow is near-steady, freezing the solution
+    # exactly and quenching the Karman instability below that amplitude;
+    # the forced per-step sweep keeps small dynamics alive without chasing
+    # tolerances below the attainable residual floor
+    cfg.newton.tol = 1e-4
+    cfg.newton.min_iters = 1
     cfg.newton.max_iters = 8
     cfg.krylov.max_iters = 600
     cfg.krylov.matvec = "windowed"
@@ -120,7 +120,7 @@ def main():
     # per-step host<->device traffic (BC upload, functional/residual
     # download) otherwise dominates wall time on high-latency links
     solver.solve_scanned(
-        functional=force._force, chunk=200, newton_iters=3, progress=progress
+        functional=force._force, chunk=10, newton_iters=3, progress=progress
     )
     wall = time.time() - t_start
     _dump(outdir, re, dt, series, wall, partial=False)

@@ -23,11 +23,19 @@ class NewtonConfig:
     max_iters: int = 1000  # cpp:593
     tol: float = 1e-2  # cpp:594 — ABSOLUTE residual tolerance
     damping: float = 1.0  # full step (cpp:616; damped variants commented out)
+    # minimum tangent solves per time step.  With an ABSOLUTE tol, a
+    # near-steady flow exits Newton at iteration 0 and the solution FREEZES
+    # exactly — which quenches slowly-growing physics (e.g. the Karman
+    # instability) below the tol amplitude.  min_iters=1 forces one
+    # GMRES-corrected update per step regardless of the entry residual
+    # (cheap: the solve stops at rel_tol of an already-small residual).
+    min_iters: int = 0  # reference parity: 0 (cpp:593-612)
 
 
 @dataclass
 class KrylovConfig:
     rel_tol: float = 1e-2  # cpp:566: 1e-2 * ||rhs||
+    # (see NewtonConfig.min_iters for the anti-freeze companion knob)
     max_iters: int = 2000  # practical cap (reference allows 100000, cpp:566)
     restart: int = 60
     preconditioner: str = "identity"  # cpp:570 | "block_diagonal" |

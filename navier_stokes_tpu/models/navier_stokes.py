@@ -437,7 +437,8 @@ class NavierStokesSolver:
         n = self.dofs.n_total
 
         def newton_iteration(
-            ctx, wa, lay, u, u_old, bc_rows, bc_vals, dt_res, axis_name=None
+            ctx, wa, lay, u, u_old, bc_rows, bc_vals, dt_res,
+            force_solve=False, axis_name=None,
         ):
             # ctx / wa / lay are pytree ARGUMENTS (not closures): their
             # multi-hundred-MB arrays must be runtime parameters, not
@@ -547,7 +548,8 @@ class NavierStokesSolver:
                 return u, jnp.int32(0), jnp.bool_(True), jnp.zeros((), residual.dtype)
 
             u_new, iters, kconv, kres = jax.lax.cond(
-                res_norm > cfg.newton.tol, do_solve, skip, None
+                jnp.logical_or(force_solve, res_norm > cfg.newton.tol),
+                do_solve, skip, None,
             )
             return u_new, res_norm, iters, kconv, kres
 
@@ -564,21 +566,25 @@ class NavierStokesSolver:
             bcl = jnp.asarray(self._bc_local)  # [n_dev, m] local rows
             sh = P(wspmd.AXIS)
             wrapped = shard_map(
-                lambda wa, lay, u, uo, br, bv, dtr: newton_iteration(
-                    None, wa, lay, u, uo, br[0], bv[0], dtr, axis_name=wspmd.AXIS
+                lambda wa, lay, u, uo, br, bv, dtr, fs: newton_iteration(
+                    None, wa, lay, u, uo, br[0], bv[0], dtr, fs,
+                    axis_name=wspmd.AXIS,
                 ),
                 self.spmd_mesh,
                 in_specs=(
                     wspmd.wa_pspecs(wa_s), wspmd.layout_pspecs(lay_s),
-                    sh, sh, sh, sh, P(),
+                    sh, sh, sh, sh, P(), P(),
                 ),
                 out_specs=(sh, P(), P(), P(), P()),
             )
             self.newton_iteration_fn = lambda u, uo, bv: wrapped(
-                wa_s, lay_s, u, uo, bcl, bv, jnp.asarray(cfg.dt, self._dtype)
+                wa_s, lay_s, u, uo, bcl, bv, jnp.asarray(cfg.dt, self._dtype),
+                jnp.asarray(False),
             )
             self._newton_iteration = jax.jit(
-                lambda u, uo, bv, dtr: wrapped(wa_s, lay_s, u, uo, bcl, bv, dtr),
+                lambda u, uo, bv, dtr, fs: wrapped(
+                    wa_s, lay_s, u, uo, bcl, bv, dtr, fs
+                ),
                 donate_argnums=(0,),
             )
         elif self.spmd_mesh is not None:
@@ -587,26 +593,27 @@ class NavierStokesSolver:
             from ..parallel.spmd import context_pspecs, shard_map
 
             wrapped = shard_map(
-                lambda ctx, u, uo, bv, dtr: newton_iteration(
-                    ctx, None, None, u, uo, bc_rows, bv, dtr
+                lambda ctx, u, uo, bv, dtr, fs: newton_iteration(
+                    ctx, None, None, u, uo, bc_rows, bv, dtr, fs
                 ),
                 self.spmd_mesh,
-                in_specs=(context_pspecs(self.ctx), P(), P(), P(), P()),
+                in_specs=(context_pspecs(self.ctx), P(), P(), P(), P(), P()),
                 out_specs=(P(), P(), P(), P(), P()),
             )
             ctx = self.ctx
             self.newton_iteration_fn = lambda u, uo, bv: wrapped(
-                ctx, u, uo, bv, jnp.asarray(cfg.dt, self._dtype)
+                ctx, u, uo, bv, jnp.asarray(cfg.dt, self._dtype), jnp.asarray(False)
             )
             self._newton_iteration = jax.jit(
-                lambda u, uo, bv, dtr: wrapped(ctx, u, uo, bv, dtr),
+                lambda u, uo, bv, dtr, fs: wrapped(ctx, u, uo, bv, dtr, fs),
                 donate_argnums=(0,),
             )
         else:
             jitted = jax.jit(newton_iteration, donate_argnums=(3,), static_argnames=("axis_name",))
-            self._newton_iteration = lambda u, uo, bv, dtr=None: jitted(
+            self._newton_iteration = lambda u, uo, bv, dtr=None, fs=False: jitted(
                 self.ctx, self._wassembly, self._win_layout, u, uo, bc_rows, bv,
                 jnp.asarray(cfg.dt if dtr is None else dtr, self._dtype),
+                jnp.asarray(fs),
             )
             # newton_iteration_fn: un-donated jittable variant for external
             # callers that reuse their arrays (compile checks, benchmarking)
@@ -754,12 +761,15 @@ class NavierStokesSolver:
             )
         bc_vals = jnp.asarray(vals, dtype=self._dtype)
         n_iter, res_norm = 0, cfg.newton.tol + 1
-        while n_iter < cfg.newton.max_iters and res_norm > cfg.newton.tol:
+        while n_iter < cfg.newton.max_iters and (
+            res_norm > cfg.newton.tol or n_iter < cfg.newton.min_iters
+        ):
             log.banner()
             log.print("Assembling the system")
             with self.timers("newton_iteration"):
                 self.solution, rn, gmres_iters, kconv, kres = self._newton_iteration(
-                    self.solution, u_old_arg, bc_vals, dt_res
+                    self.solution, u_old_arg, bc_vals, dt_res,
+                    n_iter < cfg.newton.min_iters,
                 )
                 res_norm = float(rn)  # host sync inside the timed region
             log.banner()
@@ -961,7 +971,7 @@ class NavierStokesSolver:
         dt_res2 = jnp.asarray(cfg.dt / 1.5, self._dtype)
         K = int(newton_iters)
 
-        def step_fn(carry, bc_vals):
+        def step_fn(ctx_a, wa_a, lay_a, carry, bc_vals):
             u, uo, uo2, kstep = carry
             if bdf2:
                 use2 = kstep >= 1  # step 0 of the run bootstraps with BDF1
@@ -974,18 +984,23 @@ class NavierStokesSolver:
             uu = u
             res = jnp.zeros((), self._dtype)
             iters = jnp.int32(0)
-            for _ in range(K):
+            for k in range(K):
                 uu, res, it, _kc, _kr = body(
-                    ctx, wa, lay, uu, u_old_eff, bc_rows, bc_vals, dt_res
+                    ctx_a, wa_a, lay_a, uu, u_old_eff, bc_rows, bc_vals, dt_res,
+                    k < cfg.newton.min_iters,  # anti-freeze forced sweeps
                 )
                 iters = iters + it
             f = functional(uu) if functional is not None else jnp.zeros((1,), self._dtype)
             return (uu, uo_n, uo2_n, kstep + 1), (f, res, iters)
 
+        # ctx/wa/lay MUST be runtime arguments, not closure constants: baked
+        # multi-hundred-MB constants fault the device at scale (same rule as
+        # newton_iteration's pytree-argument design)
         @jax.jit
-        def run_chunk(u, uo, uo2, kstep, bc_chunk):
+        def run_chunk(ctx_a, wa_a, lay_a, u, uo, uo2, kstep, bc_chunk):
             (u, uo, uo2, kstep), ys = jax.lax.scan(
-                step_fn, (u, uo, uo2, kstep), bc_chunk
+                lambda c, x: step_fn(ctx_a, wa_a, lay_a, c, x),
+                (u, uo, uo2, kstep), bc_chunk,
             )
             return u, uo, uo2, kstep, ys
 
@@ -1003,7 +1018,9 @@ class NavierStokesSolver:
         while done < n_steps:
             m = min(chunk, n_steps - done)
             bc_chunk = jnp.asarray(bc_sched[done : done + m])
-            u, uo, uo2, kstep, (f, r, it) = run_chunk(u, uo, uo2, kstep, bc_chunk)
+            u, uo, uo2, kstep, (f, r, it) = run_chunk(
+                ctx, wa, lay, u, uo, uo2, kstep, bc_chunk
+            )
             jax.block_until_ready(u)
             done += m
             self.time = t0 + done * cfg.dt
