@@ -63,18 +63,26 @@ def main():
         y = x[:, 1] + 0.2  # channel occupies y in [-0.2, 0.21]
         prof = 4.0 * y * (H - y) / H**2
         v[:, 0] = u_m * prof
-        # symmetry-breaking kick: one sine period of cross-flow during
-        # t in [0, 1].  From an impulsive symmetric start the Karman
-        # instability otherwise grows from round-off only (tens of seconds
-        # of physical time); the kick seeds it at finite amplitude and the
-        # limit cycle is independent of the seed.
-        if t < 1.0:
-            v[:, 1] = 0.3 * u_m * np.sin(2.0 * np.pi * t) * prof
+        # symmetry-breaking kick: cross-flow at the expected SHEDDING
+        # frequency (St 0.3 -> f = St*U/D = 3 Hz) for t in [0, 2].  From an
+        # impulsive symmetric start the Karman instability otherwise grows
+        # from solver noise only (tens of seconds of physical time); the
+        # resonant kick pumps the unstable mode directly and the limit
+        # cycle is independent of the seed.
+        if t < 2.0:
+            v[:, 1] = 0.15 * u_m * np.sin(2.0 * np.pi * 3.0 * t) * prof
         return v
 
-    mesh = retag_boundary(
-        ns.read_msh("/root/reference/mesh/mesh_poli.msh"), tag_fn
-    )
+    refine = int(os.environ.get("DFG_REFINE", "1"))
+    mesh = ns.read_msh("/root/reference/mesh/mesh_poli.msh")
+    from navier_stokes_tpu.mesh.mesh import refine_uniform
+
+    # the shipped mesh is uniform h ~ D/10 (only ~5 P1 pressure nodes per
+    # diameter) — too coarse to destabilize the wake: resonant kicks decay
+    # at sigma ~ -4/s.  One uniform refinement (h ~ D/20) recovers shedding.
+    if refine:
+        mesh = refine_uniform(mesh, refine)
+    mesh = retag_boundary(mesh, tag_fn)
     cfg = ns.SolverConfig(T=T, dt=dt, nu=nu, rho=1.0, p_out=0.0)
     cfg.convection_form = "standard"
     cfg.include_continuity_residual = True
@@ -88,6 +96,12 @@ def main():
     cfg.newton.tol = 1e-4
     cfg.newton.min_iters = 1
     cfg.newton.max_iters = 8
+    # the tangent solve's RELATIVE tolerance sets a numerical damping rate
+    # sigma_num ~ -rel_tol/dt on the near-neutral (slowest-Krylov) Karman
+    # direction: at 1e-2/0.0025 that is -4/s, which kills the +0.5/s
+    # physical instability (measured: resonant 3 Hz kicks decayed at
+    # exactly -4/s).  1e-4 brings sigma_num to -0.04/s.
+    cfg.krylov.rel_tol = 1e-4
     cfg.krylov.max_iters = 600
     cfg.krylov.matvec = "windowed"
     cfg.krylov.preconditioner = "cahouet_chabard"
@@ -120,7 +134,7 @@ def main():
     # per-step host<->device traffic (BC upload, functional/residual
     # download) otherwise dominates wall time on high-latency links
     solver.solve_scanned(
-        functional=force._force, chunk=10, newton_iters=3, progress=progress
+        functional=force._force, chunk=int(os.environ.get("DFG_CHUNK", "10")), newton_iters=3, progress=progress
     )
     wall = time.time() - t_start
     _dump(outdir, re, dt, series, wall, partial=False)
