@@ -102,7 +102,7 @@ def main():
     # physical instability (measured: resonant 3 Hz kicks decayed at
     # exactly -4/s).  1e-4 brings sigma_num to -0.04/s.
     cfg.krylov.rel_tol = 1e-4
-    cfg.krylov.max_iters = 600
+    cfg.krylov.max_iters = 150
     cfg.krylov.matvec = "windowed"
     cfg.krylov.preconditioner = "cahouet_chabard"
 
@@ -134,7 +134,7 @@ def main():
     # per-step host<->device traffic (BC upload, functional/residual
     # download) otherwise dominates wall time on high-latency links
     solver.solve_scanned(
-        functional=force._force, chunk=int(os.environ.get("DFG_CHUNK", "10")), newton_iters=3, progress=progress
+        functional=force._force, chunk=int(os.environ.get("DFG_CHUNK", "10")), newton_iters=int(os.environ.get("DFG_SWEEPS", "2")), progress=progress
     )
     wall = time.time() - t_start
     _dump(outdir, re, dt, series, wall, partial=False)
