@@ -31,7 +31,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import numpy as np
 
 import navier_stokes_tpu as ns
-from navier_stokes_tpu.mesh.mesh import retag_boundary
+from navier_stokes_tpu.mesh.mesh import (
+    circle_projector, extract_cells, refine_uniform, retag_boundary)
 from navier_stokes_tpu.models.functionals import BoundaryForce, strouhal_number
 
 D = 0.1          # cylinder diameter
@@ -46,6 +47,30 @@ def tag_fn(mid):
     r = np.linalg.norm(mid, axis=1)
     tags[r < 0.09] = 13  # cylinder
     return tags
+
+
+def load_dfg_mesh(refine: int):
+    """mesh_poli.msh -> true DFG fluid domain.
+
+    The shipped mesh_poli* meshes mesh the cylinder INTERIOR (212 live cells
+    inside r=0.05, the circle is an internal facet loop): solved as-is, the
+    trapped interior fluid pins a near-constant pressure onto the circle
+    nodes, wiping out the front/back pressure difference (measured Cd 2.95 /
+    dP 0.027 vs published 5.58 / 0.1175 on DFG 2D-1).  Extract the exterior
+    cells, retag geometrically, and refine with new cylinder vertices SNAPPED
+    onto the circle (deal.II-manifold equivalent; without it the cylinder
+    stays the original 32-gon at every refinement level)."""
+    import navier_stokes_tpu as ns
+
+    mesh = ns.read_msh("/root/reference/mesh/mesh_poli.msh")
+    vr = np.linalg.norm(mesh.coords, axis=1)
+    mesh = extract_cells(mesh, vr[mesh.cells].max(axis=1) > 0.05 + 1e-9)
+    mesh = retag_boundary(mesh, tag_fn)
+    if refine:
+        mesh = refine_uniform(
+            mesh, refine, snap_boundary={13: circle_projector((0.0, 0.0), 0.05)}
+        )
+    return mesh
 
 
 def main():
@@ -74,15 +99,7 @@ def main():
         return v
 
     refine = int(os.environ.get("DFG_REFINE", "1"))
-    mesh = ns.read_msh("/root/reference/mesh/mesh_poli.msh")
-    from navier_stokes_tpu.mesh.mesh import refine_uniform
-
-    # the shipped mesh is uniform h ~ D/10 (only ~5 P1 pressure nodes per
-    # diameter) — too coarse to destabilize the wake: resonant kicks decay
-    # at sigma ~ -4/s.  One uniform refinement (h ~ D/20) recovers shedding.
-    if refine:
-        mesh = refine_uniform(mesh, refine)
-    mesh = retag_boundary(mesh, tag_fn)
+    mesh = load_dfg_mesh(refine)
     cfg = ns.SolverConfig(T=T, dt=dt, nu=nu, rho=1.0, p_out=0.0)
     cfg.convection_form = "standard"
     cfg.include_continuity_residual = True
@@ -115,7 +132,7 @@ def main():
     series = []
     t_start = time.time()
 
-    def progress(step, t, f_chunk):
+    def progress(step, t, f_chunk, res=None, iters=None):
         k0 = len(series)
         for i, f in enumerate(np.asarray(f_chunk)):
             series.append({
@@ -123,9 +140,15 @@ def main():
                 "cd": float(f[0] * scale), "cl": float(f[1] * scale),
             })
         s = series[-1]
+        # post-Newton residual + GMRES work per step: a frozen/stalled run
+        # (GMRES returning ~0 corrections) is visible here, not just in the
+        # suspiciously-constant force series
+        diag = ""
+        if res is not None:
+            diag = f"  |r|={float(np.asarray(res)[-1]):.2e}  gmres/step={float(np.mean(iters)):.0f}"
         print(
-            f"step {step:5d}  t={t:7.3f}  Cd={s['cd']:+.4f}  Cl={s['cl']:+.4f}  "
-            f"wall={time.time()-t_start:7.1f}s",
+            f"step {step:5d}  t={t:7.3f}  Cd={s['cd']:+.4f}  Cl={s['cl']:+.4f}"
+            f"{diag}  wall={time.time()-t_start:7.1f}s",
             flush=True,
         )
         _dump(outdir, re, dt, series, time.time() - t_start, partial=True)

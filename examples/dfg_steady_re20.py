@@ -33,7 +33,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 import numpy as np
 
 import navier_stokes_tpu as ns
-from navier_stokes_tpu.mesh.mesh import refine_uniform, retag_boundary
+from navier_stokes_tpu.mesh.mesh import (
+    circle_projector, extract_cells, refine_uniform, retag_boundary)
 from navier_stokes_tpu.models.functionals import BoundaryForce
 
 D = 0.1
@@ -47,6 +48,30 @@ def tag_fn(mid):
     r = np.linalg.norm(mid, axis=1)
     tags[r < 0.09] = 13
     return tags
+
+
+def load_dfg_mesh(refine: int):
+    """mesh_poli.msh -> true DFG fluid domain.
+
+    The shipped mesh_poli* meshes mesh the cylinder INTERIOR (212 live cells
+    inside r=0.05, the circle is an internal facet loop): solved as-is, the
+    trapped interior fluid pins a near-constant pressure onto the circle
+    nodes, wiping out the front/back pressure difference (measured Cd 2.95 /
+    dP 0.027 vs published 5.58 / 0.1175 on DFG 2D-1).  Extract the exterior
+    cells, retag geometrically, and refine with new cylinder vertices SNAPPED
+    onto the circle (deal.II-manifold equivalent; without it the cylinder
+    stays the original 32-gon at every refinement level)."""
+    import navier_stokes_tpu as ns
+
+    mesh = ns.read_msh("/root/reference/mesh/mesh_poli.msh")
+    vr = np.linalg.norm(mesh.coords, axis=1)
+    mesh = extract_cells(mesh, vr[mesh.cells].max(axis=1) > 0.05 + 1e-9)
+    mesh = retag_boundary(mesh, tag_fn)
+    if refine:
+        mesh = refine_uniform(
+            mesh, refine, snap_boundary={13: circle_projector((0.0, 0.0), 0.05)}
+        )
+    return mesh
 
 
 def main():
@@ -63,10 +88,7 @@ def main():
         v[:, 0] = u_m * 4.0 * y * (H - y) / H**2
         return v
 
-    mesh = ns.read_msh("/root/reference/mesh/mesh_poli.msh")
-    if refine:
-        mesh = refine_uniform(mesh, refine)
-    mesh = retag_boundary(mesh, tag_fn)
+    mesh = load_dfg_mesh(refine)
 
     cfg = ns.SolverConfig(T=dt * nsteps, dt=dt, nu=nu, rho=1.0, p_out=0.0)
     cfg.convection_form = "standard"

@@ -27,7 +27,7 @@ import numpy as np
 
 from ..fem.reference_element import EDGES, FACES
 
-__all__ = ["Mesh", "extract_edges", "refine_uniform"]
+__all__ = ["Mesh", "extract_cells", "extract_edges", "refine_uniform", "retag_boundary"]
 
 
 def extract_edges(cells: np.ndarray, dim: int) -> tuple[np.ndarray, np.ndarray]:
@@ -166,20 +166,40 @@ def retag_boundary(mesh: Mesh, tag_fn) -> Mesh:
     )
 
 
-def refine_uniform(mesh: Mesh, times: int = 1) -> Mesh:
+def refine_uniform(mesh: Mesh, times: int = 1, snap_boundary: dict | None = None) -> Mesh:
     """Red (regular) uniform refinement: each tri -> 4 tris, each tet -> 8 tets.
 
     New vertices at edge midpoints; boundary facets split with inherited tags.
     This is the scaling utility used to reach multi-chip problem sizes
     (BASELINE.md's ~10M-DoF configs) from the shipped meshes.
+
+    snap_boundary: optional {tag: project_fn} — the TPU-framework analogue of
+    deal.II's manifold attachment for curved boundaries.  New vertices created
+    ON a boundary facet with that tag get their coordinates replaced by
+    ``project_fn(coords [m, dim]) -> [m, dim]`` (e.g. radial projection onto a
+    cylinder).  Without it, refining a polygonal approximation of a curved
+    boundary keeps the ORIGINAL polygon forever (new midpoints sit on the old
+    chords), so the geometric error never converges.
     """
     m = mesh
     for _ in range(times):
-        m = _refine_once(m)
+        m = _refine_once(m, snap_boundary)
     return m
 
 
-def _refine_once(mesh: Mesh) -> Mesh:
+def circle_projector(center, radius):
+    """snap_boundary projector: radial projection onto a circle/sphere."""
+    center = np.asarray(center, dtype=np.float64)
+
+    def project(x):
+        d = x - center
+        r = np.linalg.norm(d, axis=1, keepdims=True)
+        return center + radius * d / np.maximum(r, 1e-300)
+
+    return project
+
+
+def _refine_once(mesh: Mesh, snap_boundary: dict | None = None) -> Mesh:
     dim = mesh.dim
     edges, cell_edges = mesh.edges, mesh.cell_edges
     mid = 0.5 * (mesh.coords[edges[:, 0]] + mesh.coords[edges[:, 1]])
@@ -235,6 +255,7 @@ def _refine_once(mesh: Mesh) -> Mesh:
         m = edge_mid(bf[:, 0], bf[:, 1])
         new_bf = np.concatenate([np.stack([bf[:, 0], m], 1), np.stack([m, bf[:, 1]], 1)])
         new_tags = np.concatenate([mesh.boundary_tags] * 2)
+        facet_new_ids = m[:, None]  # [n_bf, 1] new vertex per facet
     else:
         a, b, cc = bf[:, 0], bf[:, 1], bf[:, 2]
         mab, mbc, mca = edge_mid(a, b), edge_mid(b, cc), edge_mid(cc, a)
@@ -247,6 +268,13 @@ def _refine_once(mesh: Mesh) -> Mesh:
             ]
         )
         new_tags = np.concatenate([mesh.boundary_tags] * 4)
+        facet_new_ids = np.stack([mab, mbc, mca], axis=1)  # [n_bf, 3]
+
+    if snap_boundary:
+        for tag, proj in snap_boundary.items():
+            ids = np.unique(facet_new_ids[mesh.boundary_tags == tag])
+            if len(ids):
+                coords[ids] = proj(coords[ids])
 
     return Mesh(
         coords=coords,
@@ -254,4 +282,74 @@ def _refine_once(mesh: Mesh) -> Mesh:
         boundary_facets=new_bf.astype(np.int32),
         boundary_tags=new_tags,
         name=mesh.name + "+r",
+    )
+
+
+def _facet_keys(f: np.ndarray, n_nodes: int) -> np.ndarray:
+    """Collision-free int64 key per (sorted) facet row."""
+    f = np.sort(f.astype(np.int64), axis=1)
+    key = f[:, 0]
+    for j in range(1, f.shape[1]):
+        key = key * (n_nodes + 1) + f[:, j]
+    return key
+
+
+def extract_cells(mesh: Mesh, keep) -> Mesh:
+    """Submesh of the cells selected by ``keep`` (bool mask or index array).
+
+    Unreferenced vertices are dropped and renumbered; boundary facets are
+    kept only where they are genuine facets of exactly ONE surviving cell
+    (deal.II semantics: interior facets carrying boundary ids are ignored).
+    A warning is issued if the extraction exposes UNTAGGED boundary facets —
+    the solver cannot see those, so they would silently get the natural
+    (do-nothing) condition.
+
+    The motivating defect: the shipped DFG channel meshes (mesh_poli*.msh)
+    mesh the cylinder INTERIOR as live cells with the circle as an internal
+    facet loop.  Solving on them traps fluid inside the cylinder, whose
+    near-constant pressure couples into the circle nodes and wipes out the
+    front/back pressure difference (measured: dP 0.027 vs the published
+    0.1175, Cd 2.95 vs 5.58 on DFG 2D-1).  ``extract_cells(mesh,
+    centroid_r > r_cyl)`` recovers the true exterior-flow domain.
+    """
+    keep = np.asarray(keep)
+    cells = mesh.cells[keep]
+    if cells.size == 0:
+        raise ValueError("extract_cells: empty selection")
+    used = np.unique(cells)
+    remap = np.full(mesh.n_nodes, -1, dtype=np.int64)
+    remap[used] = np.arange(len(used))
+    dim = mesh.dim
+
+    from itertools import combinations
+
+    cf = np.concatenate(
+        [cells[:, list(c)] for c in combinations(range(dim + 1), dim)]
+    )
+    cf_keys = np.sort(_facet_keys(cf, mesh.n_nodes))
+    bf_keys = _facet_keys(mesh.boundary_facets, mesh.n_nodes)
+    lo = np.searchsorted(cf_keys, bf_keys, side="left")
+    hi = np.searchsorted(cf_keys, bf_keys, side="right")
+    keep_bf = (hi - lo) == 1  # facet of exactly one surviving cell
+
+    # untagged-boundary check: every once-occurring cell facet should be tagged
+    uniq, counts = np.unique(cf_keys, return_counts=True)
+    n_true_boundary = int((counts == 1).sum())
+    n_tagged = int(np.isin(uniq[counts == 1], bf_keys[keep_bf]).sum())
+    if n_tagged < n_true_boundary:
+        import warnings
+
+        warnings.warn(
+            f"extract_cells: {n_true_boundary - n_tagged} boundary facet(s) of "
+            "the extracted mesh carry no tag (natural/do-nothing by default); "
+            "retag_boundary() them if they need conditions"
+        )
+
+    return Mesh(
+        coords=mesh.coords[used],
+        cells=remap[cells].astype(np.int32),
+        boundary_facets=remap[mesh.boundary_facets[keep_bf]].astype(np.int32),
+        boundary_tags=mesh.boundary_tags[keep_bf].copy(),
+        name=mesh.name + "+extract",
+        cell_tags=None if mesh.cell_tags is None else mesh.cell_tags[keep],
     )

@@ -1033,7 +1033,13 @@ class NavierStokesSolver:
                 f"||r|| = {float(rs[-1][-1]):.3e}  gmres/step ~ {float(np.mean(its[-1])):.0f}"
             )
             if progress is not None:
-                progress(self._step, self.time, fs[-1])
+                try:
+                    progress(
+                        self._step, self.time, fs[-1],
+                        res=rs[-1], iters=its[-1],
+                    )
+                except TypeError:  # legacy 3-arg callback
+                    progress(self._step, self.time, fs[-1])
         self.solution, self.solution_old = u, uo
         self.solution_old2 = uo2
         return {

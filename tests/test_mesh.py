@@ -120,3 +120,76 @@ def test_refine_reference_mesh(ref_mesh_dir):
     assert r.n_cells == 4 * m.n_cells
     geo = cell_geometry(r, gauss_simplex(2, 1))
     assert geo.jxw.sum() == pytest.approx(1.0)
+
+
+def test_extract_cells_cylinder_interior(ref_mesh_dir):
+    """The shipped DFG channel meshes mesh the cylinder INTERIOR (the circle
+    is an internal facet loop); extract_cells must recover the true
+    exterior-flow domain: no cells inside r=0.05, circle facets kept as
+    genuine (single-cell) boundary, vertices renumbered compactly."""
+    from navier_stokes_tpu.mesh.mesh import extract_cells
+
+    m = read_msh(os.path.join(ref_mesh_dir, "mesh_poli.msh"))
+    cent_r = np.linalg.norm(m.coords[m.cells].mean(axis=1), axis=1)
+    assert (cent_r < 0.048).sum() > 0, "fixture: interior must be meshed"
+    vr = np.linalg.norm(m.coords, axis=1)
+    ex = extract_cells(m, vr[m.cells].max(axis=1) > 0.05 + 1e-9)
+
+    cent_r2 = np.linalg.norm(ex.coords[ex.cells].mean(axis=1), axis=1)
+    assert cent_r2.min() > 0.05
+    # all 32 circle facets survive (facet of exactly one kept cell)
+    fr = np.linalg.norm(ex.coords[ex.boundary_facets].mean(axis=1), axis=1)
+    assert (fr < 0.05).sum() == 32
+    # compact renumbering: every vertex referenced, indices in range
+    assert ex.cells.max() == ex.n_nodes - 1
+    assert len(np.unique(ex.cells)) == ex.n_nodes
+    # outer boundary intact
+    assert len(ex.boundary_facets) == len(m.boundary_facets)
+    geo = cell_geometry(ex, gauss_simplex(2, 1))
+    area = geo.jxw.sum()
+    assert area == pytest.approx(2.2 * 0.41 - np.pi * 0.05**2, rel=2e-3)
+
+
+def test_extract_cells_untagged_warning():
+    """Extraction exposing untagged boundary must warn (the solver cannot
+    see untagged facets — they silently become do-nothing)."""
+    import warnings
+
+    from navier_stokes_tpu.mesh.mesh import extract_cells
+
+    m = unit_square(4)
+    keep = m.coords[m.cells].mean(axis=1)[:, 0] < 0.5
+    with warnings.catch_warnings(record=True) as w:
+        warnings.simplefilter("always")
+        ex = extract_cells(m, keep)
+    assert any("no tag" in str(x.message) for x in w)
+    assert ex.n_cells == int(keep.sum())
+
+
+def test_refine_snap_boundary_circle(ref_mesh_dir):
+    """snap_boundary (deal.II-manifold equivalent): refined cylinder
+    vertices land ON the circle, not on the old chords."""
+    from navier_stokes_tpu.mesh.mesh import circle_projector, extract_cells, retag_boundary
+
+    m = read_msh(os.path.join(ref_mesh_dir, "mesh_poli.msh"))
+    vr = np.linalg.norm(m.coords, axis=1)
+    m = extract_cells(m, vr[m.cells].max(axis=1) > 0.05 + 1e-9)
+
+    def tags(mid):
+        t = np.full(len(mid), 12, dtype=np.int32)
+        t[np.linalg.norm(mid, axis=1) < 0.09] = 13
+        return t
+
+    m = retag_boundary(m, tags)
+    r = refine_uniform(m, 1, snap_boundary={13: circle_projector((0.0, 0.0), 0.05)})
+    cyl_v = np.unique(r.boundary_facets[r.boundary_tags == 13])
+    rad = np.linalg.norm(r.coords[cyl_v], axis=1)
+    np.testing.assert_allclose(rad, 0.05, rtol=1e-12)
+    assert len(cyl_v) == 64
+    # no inverted cells after snapping
+    geo = cell_geometry(r, gauss_simplex(2, 1))
+    assert np.all(geo.detJ > 0)
+    # without snapping, midpoints stay on the chords (strictly inside)
+    r0 = refine_uniform(m, 1)
+    rad0 = np.linalg.norm(r0.coords[np.unique(r0.boundary_facets[r0.boundary_tags == 13])], axis=1)
+    assert rad0.min() < 0.05 - 1e-5
