@@ -134,3 +134,63 @@ def test_strouhal():
     st = strouhal_number(lift, dt, D=0.1, U=1.0)
     assert st == pytest.approx(f0 * 0.1, rel=0.05)
     assert strouhal_number(np.zeros(100), dt, 0.1, 1.0) == 0.0
+
+
+def test_boundary_reaction_poiseuille_exact():
+    """Plane Poiseuille is EXACT in P2/P1, so the reaction functional on a
+    channel wall must equal the analytic wall drag mu * (4 u_m / H) * L to
+    machine precision (the superconvergent force evaluator validated against
+    scripts/oracle_steady_ns.py on the DFG benchmark)."""
+    import jax.numpy as jnp
+
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.mesh.generate import rectangle
+    from navier_stokes_tpu.models.functionals import BoundaryReaction
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    L, H, um, nu = 2.0, 0.5, 0.3, 0.01
+    mesh = rectangle(16, 8, 0, L, 0, H)
+
+    def inflow(x, t=0.0):
+        v = np.zeros_like(x)
+        v[:, 0] = um * 4.0 * x[:, 1] * (H - x[:, 1]) / H**2
+        return v
+
+    cfg = SolverConfig(
+        T=0.1, dt=0.1, nu=nu, rho=1.0, p_out=0.0,
+        inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+    )
+    cfg.dtype = "float64"
+    cfg.convection_form = "standard"
+    cfg.include_continuity_residual = True
+    cfg.jacobian_mass_rho = True
+    s = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False), inlet=inflow)
+    s.setup()
+    # inject the exact Poiseuille state (u quadratic, p linear: exact in
+    # Taylor-Hood), no solve needed: the functional is what's under test
+    vc = s.dofs.v_coords
+    dpdx = -8.0 * nu * um / H**2
+    u = np.zeros(s.dofs.n_total)
+    u[: s.dofs.n_vs] = um * 4.0 * vc[:, 1] * (H - vc[:, 1]) / H**2
+    pc = s.dofs.p_coords
+    u[s.dofs.n_u :] = dpdx * (pc[:, 0] - L)
+    if s.dofs.v_mask is not None:
+        u[: s.dofs.n_vs] *= s.dofs.v_mask
+    # bottom wall (tag 2): drag = mu * du/dy|_0 * L, MINUS the inlet-corner
+    # term: the corner vertex dof's test function extends onto the first
+    # inlet edge (length h) where (sigma.n_out)_x = +p, and the reaction is
+    # the NEGATIVE boundary-traction sum (force BY fluid); the P2 vertex
+    # function's edge integral is h/6.  (For a CLOSED boundary like the DFG
+    # cylinder there are no such junction terms.)
+    r = BoundaryReaction(s, tags=(2,))
+    f = r.force(u)
+    h = H / 8
+    p_inlet = -dpdx * L  # p(x=0)
+    f_exact_x = nu * 4.0 * um / H * L - p_inlet * h / 6
+    assert abs(f[0] - f_exact_x) < 1e-12, f
+    # wall-normal force = integral of p over the wall (pressure pushes DOWN
+    # on the bottom wall -> force on wall is -y... reaction sign: force BY
+    # fluid ON wall in -y has magnitude integral p dx)
+    p_int = -dpdx * L**2 / 2  # integral of p(x) = dpdx*(x-L) over [0, L]
+    assert abs(f[1] + p_int) < 1e-12, (f, p_int)

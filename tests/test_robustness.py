@@ -93,3 +93,31 @@ def test_real_dof_mask_filters_holes():
     # every real P2 support point appears exactly once
     pts = {tuple(np.round(c, 12)) for c in s.velocity_coords(real_only=True)}
     assert len(pts) == n_real
+
+
+def test_a00_solver_gmres_windowed():
+    """a00_solver='gmres' (convection-robust inner sweeps for the windowed
+    Schur preconditioners) must produce a working tangent solve."""
+    import jax.numpy as jnp
+
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.mesh.generate import unit_square
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    for precond in ("cahouet_chabard", "block_triangular"):
+        cfg = SolverConfig(
+            T=0.05, dt=0.05, inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+            p_out=0.0,
+        )
+        cfg.krylov.matvec = "windowed"
+        cfg.krylov.cells_per_block = 64
+        cfg.krylov.preconditioner = precond
+        cfg.krylov.a00_solver = "gmres"
+        cfg.krylov.cc_iters_a00 = 3
+        cfg.krylov.max_iters = 150
+        cfg.newton.max_iters = 3
+        s = NavierStokesSolver(unit_square(12), cfg, log=RunLog(verbose=False))
+        s.setup()
+        s.solve()
+        assert bool(jnp.all(jnp.isfinite(s.solution)))
