@@ -68,32 +68,100 @@ def main():
         jacobian_mass_rho=cfg.jacobian_mass_rho,
     )
 
-    @jax.jit
-    def assemble_only(u, u_old):
-        cm, pm, r = assemble_navier_stokes(ctx, u, u_old, **kw)
-        # reduce outputs so timing isn't dominated by D2H of [nc,15,15]
-        return jnp.linalg.norm(r), cm.ravel()[::1000].sum(), pm.ravel()[0]
+    if solver._win_layout is not None:
+        # the flagship path: blocked windowed assembly (what newton_iteration
+        # actually runs; the flat [nc,15,15] assembly is the legacy path)
+        from navier_stokes_tpu.fem.windowed_assembly import assemble_windowed
+
+        wa, lay = solver._wassembly, solver._win_layout
+
+        # wa/lay as ARGUMENTS: baking their multi-hundred-MB buffers as jit
+        # constants faults the device at scale (newton_iteration's rule)
+        @jax.jit
+        def _assemble_w(wa_a, lay_a, u, u_old):
+            A_t, r, diag0 = assemble_windowed(
+                wa_a, lay_a, u, u_old, dt=cfg.dt, nu=cfg.nu, rho=cfg.rho,
+                convection_form=cfg.convection_form,
+                include_continuity_residual=cfg.include_continuity_residual,
+            )
+            # reduce outputs so timing isn't dominated by D2H transfers
+            return jnp.linalg.norm(r), A_t.ravel()[::4096].sum(), diag0[0]
+
+        def assemble_only(u, u_old):
+            return _assemble_w(wa, lay, u, u_old)
+    else:
+
+        @jax.jit
+        def assemble_only(u, u_old):
+            cm, pm, r = assemble_navier_stokes(ctx, u, u_old, **kw)
+            return jnp.linalg.norm(r), cm.ravel()[::1000].sum(), pm.ravel()[0]
 
     u = solver.solution
     u_old = solver.solution_old
 
+    def sync(out):
+        """Force a HOST read of every output: on the axon remote backend
+        block_until_ready can return before remote execution completes, so
+        timing must close with a device->host scalar transfer."""
+        return [float(np.asarray(o.ravel()[0])) for o in jax.tree.leaves(out)]
+
     # warm up (compile)
-    jax.block_until_ready(assemble_only(u, u_old))
+    sync(assemble_only(u, u_old))
     t0 = time.perf_counter()
     for _ in range(REPS):
         out = assemble_only(u, u_old)
-    jax.block_until_ready(out)
+    sync(out)
     t_assembly = (time.perf_counter() - t0) / REPS
     mdofs = n / t_assembly / 1e6
 
-    # full Newton step (assembly + Dirichlet + GMRES tangent solve)
+    # full Newton step (assembly + Dirichlet + FORCED GMRES tangent solve) at
+    # a non-trivial flow state: the as-shipped zero-inflow quirk leaves the
+    # zero state's residual under newton.tol, which would take the
+    # cond-skip branch and time an assembly instead of a solve
+    rng = np.random.default_rng(0)
+    u_state = jnp.asarray(
+        0.05 * rng.standard_normal(n), dtype=u.dtype
+    )
     bc_vals = jnp.asarray(solver.dirichlet.values(cfg.dt), dtype=u.dtype)
-    jax.block_until_ready(solver._newton_iteration(u.copy(), u_old, bc_vals))
+
+    def newton_step(state):
+        return solver._newton_iteration(state, u_old, bc_vals, cfg.dt, True)
+
+    sync(newton_step(u_state.copy()))
     t0 = time.perf_counter()
-    newton_out = solver._newton_iteration(u.copy(), u_old, bc_vals)
-    jax.block_until_ready(newton_out)
+    newton_out = newton_step(u_state.copy())
+    sync(newton_out)
     t_newton = time.perf_counter() - t0
     gmres_iters = int(newton_out[2])
+
+    if solver._win_layout is not None:
+        # single windowed matvec (VERDICT r1 item 3's roofline metric)
+        from navier_stokes_tpu.fem.windowed_assembly import assemble_windowed
+        from navier_stokes_tpu.ops.windowed import windowed_matvec
+
+        @jax.jit
+        def _amat(wa_a, lay_a, uu, uo):
+            A_t, _, _ = assemble_windowed(
+                wa_a, lay_a, uu, uo, dt=cfg.dt, nu=cfg.nu, rho=cfg.rho,
+                convection_form=cfg.convection_form,
+                include_continuity_residual=cfg.include_continuity_residual,
+            )
+            return A_t
+
+        @jax.jit
+        def _mv(lay_a, A_t, v):
+            y = windowed_matvec(lay_a, A_t, v, passes=cfg.krylov.matvec_passes)
+            return y, jnp.vdot(y, y)
+
+        A_t = _amat(wa, lay, u_state, u_old)
+        sync(_mv(lay, A_t, u_state)[1])
+        t0 = time.perf_counter()
+        for _ in range(REPS):
+            _, chk = _mv(lay, A_t, u_state)
+        float(np.asarray(chk))
+        t_mv = (time.perf_counter() - t0) / REPS
+    else:
+        t_mv = None
 
     extra = {
         "n_dofs": n,
@@ -101,6 +169,7 @@ def main():
         "dtype": DTYPE,
         "preconditioner": PRECOND,
         "assembly_ms": round(t_assembly * 1e3, 3),
+        "matvec_ms": None if t_mv is None else round(t_mv * 1e3, 3),
         "newton_step_ms": round(t_newton * 1e3, 3),
         "gmres_iters_first_step": gmres_iters,
         "device": str(jax.devices()[0]),
@@ -120,13 +189,15 @@ def main():
             )
             s2 = NavierStokesSolver(big, cfg, log=RunLog(verbose=False))
             s2.setup()
-            u2, uo2 = s2.solution, s2.solution_old
-            bv2 = jnp.asarray(s2.dirichlet.values(cfg.dt), dtype=u2.dtype)
-            jax.block_until_ready(s2._newton_iteration(u2.copy(), uo2, bv2))
+            n2 = s2.dofs.n_total
+            uo2 = s2.solution_old
+            u2 = jnp.asarray(0.05 * rng.standard_normal(n2), dtype=uo2.dtype)
+            bv2 = jnp.asarray(s2.dirichlet.values(cfg.dt), dtype=uo2.dtype)
+            sync(s2._newton_iteration(u2.copy(), uo2, bv2, cfg.dt, True))
             t0 = time.perf_counter()
-            out2 = s2._newton_iteration(u2.copy(), uo2, bv2)
-            jax.block_until_ready(out2)
-            extra["n_dofs_big"] = s2.dofs.n_total
+            out2 = s2._newton_iteration(u2.copy(), uo2, bv2, cfg.dt, True)
+            sync(out2)
+            extra["n_dofs_big"] = n2
             extra["newton_step_ms_big"] = round((time.perf_counter() - t0) * 1e3, 3)
             extra["gmres_iters_big"] = int(out2[2])
         except Exception as e:  # never fail the headline metric

@@ -64,6 +64,15 @@ class KrylovConfig:
     # (outer iterations 60 vs 204)
     cc_iters_a00: int = 2
     cc_iters_ap: int = 4
+    # inner solver for the windowed Schur preconditioners' A00 sweeps
+    # (cahouet_chabard, block_triangular, block_diagonal): "cg" matches the
+    # reference (hpp:598) and is valid for the mass-dominated tangents of
+    # small-dt time stepping; "gmres" (same cost per iteration) for
+    # large-dt / steady-ish tangents where A00 is convection-dominated and
+    # NONSYMMETRIC — CG there returns garbage directions that poison the
+    # outer Krylov space (measured: total FGMRES stagnation with the
+    # 60-iteration block_triangular CG sweep on DFG 2D-1 at dt=2)
+    a00_solver: str = "cg"
     stokes_rel_tol: float = 1e-6  # cpp:538 (steady Stokes solve)
     # tangent-solve non-convergence policy: "warn" logs a structured failure
     # record; "raise" matches deal.II SolverControl::NoConvergence (cpp:566)

@@ -21,7 +21,72 @@ import numpy as np
 from ..fem.dofs import TaylorHoodDofs
 from ..fem.geometry import facet_geometry
 
-__all__ = ["BoundaryForce", "strouhal_number", "divergence_l2"]
+__all__ = ["BoundaryForce", "BoundaryReaction", "strouhal_number", "divergence_l2"]
+
+
+class BoundaryReaction:
+    """Superconvergent boundary force via the reaction functional.
+
+    The force exerted BY the fluid ON a Dirichlet boundary equals the
+    UNCONSTRAINED weak residual summed over that boundary's velocity dofs
+    (the discrete reaction of the no-slip constraint).  This converges ~one
+    order faster than the surface-traction quadrature of BoundaryForce and is
+    the standard high-accuracy evaluator for the DFG benchmark coefficients
+    (validated against the independent oracle in scripts/oracle_steady_ns.py:
+    Cd 5.5585 vs surface-traction 5.4967 at h=D/10, published 5.5795).
+
+    For unsteady runs pass (u, u_old, dt) so the reaction includes the
+    genuine inertial term; for steady evaluation call force(u) (u_old=u
+    kills the time term).
+
+    Caveat: ``tags`` should form a CLOSED boundary (like the cylinder) or at
+    least not touch boundaries of other types — at a junction, the corner
+    dof's test function extends onto the adjacent face, so the reaction
+    includes that face's traction weighted by the corner basis function
+    (see test_boundary_reaction_poiseuille_exact for the quantified effect).
+    """
+
+    def __init__(self, solver, tags):
+        dofs = solver.dofs
+        sdofs = dofs.boundary_scalar_vdofs(list(np.atleast_1d(tags)))
+        if len(sdofs) == 0:
+            raise ValueError(f"no boundary velocity dofs with tags {tags}")
+        dim = dofs.dim
+        self.idx = jnp.asarray(
+            sdofs[None, :] + np.arange(dim)[:, None] * dofs.n_vs, dtype=jnp.int32
+        )  # [dim, m]
+        cfg = solver.cfg
+        ctx = solver.ctx
+        kw = dict(
+            nu=cfg.nu, rho=cfg.rho, p_out=cfg.p_out,
+            convection_form=cfg.convection_form,
+            include_continuity_residual=cfg.include_continuity_residual,
+            jacobian_mass_rho=cfg.jacobian_mass_rho,
+        )
+
+        from ..fem.assembly import assemble_navier_stokes
+
+        def _force(u, u_old, dt):
+            # framework residual = -R_weak (the Newton RHS, cpp:287-310), so
+            # force BY fluid ON boundary = +sum of residual rows (reaction)
+            _, _, r = assemble_navier_stokes(ctx, u, u_old, dt=dt, **kw)
+            return jnp.stack(
+                [r[self.idx[d]].sum() for d in range(dim)]
+            )
+
+        self._eval = jax.jit(_force)
+        self._dt = cfg.dt
+        self.rho = cfg.rho
+
+    def force(self, u, u_old=None, dt=None) -> np.ndarray:
+        u = jnp.asarray(u)
+        uo = u if u_old is None else jnp.asarray(u_old)
+        return np.asarray(self._eval(u, uo, dt or self._dt))
+
+    def coefficients(self, u, u_mean, length, u_old=None, dt=None):
+        f = self.force(u, u_old, dt)
+        scale = 2.0 / (self.rho * u_mean**2 * length)
+        return float(f[0] * scale), float(f[1] * scale)
 
 
 @dataclass

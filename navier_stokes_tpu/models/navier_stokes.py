@@ -379,12 +379,32 @@ class NavierStokesSolver:
                     cfg.rho if cfg.jacobian_mass_rho else 1.0
                 ) / self._dt_tangent
 
+            if cfg.krylov.a00_solver == "gmres":
+                # convection-robust inner sweep: at large dt (steady-ish
+                # tangents) A00 is convection-dominated and NONSYMMETRIC —
+                # fixed-iteration CG on it returns garbage directions that
+                # stagnate the outer solve (measured: identity beat CC 340x
+                # vs 13x per 300 outer iterations on DFG 2D-1 at dt=2).
+                # A few Jacobi-FGMRES iterations cost the same matvecs and
+                # stay valid for any dt.
+                def a00_sweep(vu):
+                    return fgmres(
+                        A00_bc, vu, atol=0.0,
+                        restart=cfg.krylov.cc_iters_a00,
+                        maxiter=cfg.krylov.cc_iters_a00,
+                        precond=pA, axis_name=axis_name,
+                    ).x
+            else:  # "cg": mass-dominated tangents (small dt), cheapest
+
+                def a00_sweep(vu):
+                    return cg(
+                        A00_bc, vu, atol=0.0, maxiter=cfg.krylov.cc_iters_a00,
+                        precond=pA, axis_name=axis_name,
+                    ).x
+
             def apply(v):
                 vu, vp = v[:n_u], v[n_u:]
-                du = cg(
-                    A00_bc, vu, atol=0.0, maxiter=cfg.krylov.cc_iters_a00,
-                    precond=pA, axis_name=axis_name,
-                ).x
+                du = a00_sweep(vu)
                 B_du = windowed_matvec_block(
                     lay, B_blk, du, in_spaces="v", out_spaces="p",
                     passes=passes, axis_name=axis_name,
@@ -416,13 +436,29 @@ class NavierStokesSolver:
 
         inner_maxiter = min(cfg.krylov.inner_max_iters, 60)
 
+        if cfg.krylov.a00_solver == "gmres":
+            # convection-robust inner sweep (see KrylovConfig.a00_solver):
+            # the CG sweep below on a convection-dominated NONSYMMETRIC A00
+            # emits divergent directions that stagnate the outer FGMRES
+            def a00_solve(vu):
+                return fgmres(
+                    A00_mv, vu,
+                    atol=cfg.krylov.inner_tol * _norm(vu, axis_name),
+                    restart=min(inner_maxiter, 30), maxiter=inner_maxiter,
+                    precond=pA, axis_name=axis_name,
+                ).x
+        else:  # "cg": reference parity (hpp:598)
+
+            def a00_solve(vu):
+                return cg(
+                    A00_mv, vu,
+                    atol=cfg.krylov.inner_tol * _norm(vu, axis_name),
+                    maxiter=inner_maxiter, precond=pA, axis_name=axis_name,
+                ).x
+
         def apply(v):
             vu, vp = v[:n_u], v[n_u:]
-            du = cg(
-                A00_mv, vu,
-                atol=cfg.krylov.inner_tol * _norm(vu, axis_name),
-                maxiter=inner_maxiter, precond=pA, axis_name=axis_name,
-            ).x
+            du = a00_solve(vu)
             if kind == "block_diagonal":
                 dp = inv_mp * vp
             else:  # block_triangular Schur sweep (hpp:594-619)
