@@ -55,6 +55,7 @@ def main():
 
     solver = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False))
     solver.setup()
+    print("# setup done", file=sys.stderr, flush=True)
     n = solver.dofs.n_total
     ctx = solver.ctx
 
@@ -112,6 +113,7 @@ def main():
         out = assemble_only(u, u_old)
     sync(out)
     t_assembly = (time.perf_counter() - t0) / REPS
+    print(f"# assembly {t_assembly*1e3:.1f} ms", file=sys.stderr, flush=True)
     mdofs = n / t_assembly / 1e6
 
     # full Newton step (assembly + Dirichlet + FORCED GMRES tangent solve) at
@@ -132,6 +134,7 @@ def main():
     newton_out = newton_step(u_state.copy())
     sync(newton_out)
     t_newton = time.perf_counter() - t0
+    print(f"# newton {t_newton*1e3:.1f} ms", file=sys.stderr, flush=True)
     gmres_iters = int(newton_out[2])
 
     if solver._win_layout is not None:
@@ -160,6 +163,7 @@ def main():
             _, chk = _mv(lay, A_t, u_state)
         float(np.asarray(chk))
         t_mv = (time.perf_counter() - t0) / REPS
+        print(f"# matvec {t_mv*1e3:.2f} ms", file=sys.stderr, flush=True)
     else:
         t_mv = None
 
