@@ -119,9 +119,14 @@ def main():
     # physical instability (measured: resonant 3 Hz kicks decayed at
     # exactly -4/s).  1e-4 brings sigma_num to -0.04/s.
     cfg.krylov.rel_tol = 1e-4
-    cfg.krylov.max_iters = 150
+    cfg.krylov.max_iters = int(os.environ.get("DFG_GMRES_CAP", "150"))
     cfg.krylov.matvec = "windowed"
     cfg.krylov.preconditioner = "cahouet_chabard"
+    # the pressure-Laplacian inner sweeps must track the mesh: Kp's condition
+    # number grows as h^-2, so the refine=0 sweet spot (4) stalls the outer
+    # FGMRES against its cap at refine>=1
+    cfg.krylov.cc_iters_a00 = int(os.environ.get("DFG_CC_A00", "2"))
+    cfg.krylov.cc_iters_ap = int(os.environ.get("DFG_CC_AP", "4" if refine == 0 else "10"))
 
     log = ns.RunLog(verbose=False)
     solver = ns.NavierStokesSolver(mesh, cfg, log=log, inlet=inflow)
