@@ -26,17 +26,19 @@ sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
 from dfg_cylinder import D, H, load_dfg_mesh  # noqa: E402
 
 SETTINGS = [
-    # (cc_iters_a00, cc_iters_ap, outer cap)
-    (2, 10, 300),
-    (2, 16, 300),
-    (4, 10, 300),
+    # (cc_iters_a00, cc_iters_ap, outer cap, precond_passes)
+    (a00, ap, cap, pp)
+    for spec in os.environ.get(
+        "PROBE_SETTINGS", "2:10:300:1,2:16:300:1,4:10:300:1"
+    ).split(",")
+    for a00, ap, cap, pp in [tuple(int(x) for x in spec.split(":"))]
 ]
 T_PROBE = float(os.environ.get("PROBE_T", "0.1"))
 DT = 0.0025
 RE = 100.0
 
 
-def run_one(mesh, a00, ap, cap):
+def run_one(mesh, a00, ap, cap, pp=1):
     u_mean, u_m = 1.0, 1.5
     nu = u_mean * D / RE
 
@@ -63,6 +65,7 @@ def run_one(mesh, a00, ap, cap):
     cfg.krylov.preconditioner = "cahouet_chabard"
     cfg.krylov.cc_iters_a00 = a00
     cfg.krylov.cc_iters_ap = ap
+    cfg.krylov.precond_passes = pp
 
     solver = ns.NavierStokesSolver(
         mesh, cfg, log=ns.RunLog(verbose=False), inlet=inflow
@@ -83,7 +86,7 @@ def run_one(mesh, a00, ap, cap):
     wall = time.time() - t0
     tail = rows[-2:]
     print(
-        f"SETTING a00={a00} ap={ap} cap={cap}: wall={wall:.1f}s "
+        f"SETTING a00={a00} ap={ap} cap={cap} pp={pp}: wall={wall:.1f}s "
         f"final |r|={tail[-1][1]:.2e} gmres/step={np.mean([r[2] for r in tail]):.0f}",
         flush=True,
     )
@@ -92,10 +95,10 @@ def run_one(mesh, a00, ap, cap):
 def main():
     mesh = load_dfg_mesh(int(os.environ.get("DFG_REFINE", "1")))
     print(f"mesh: {mesh.n_cells} cells", flush=True)
-    for a00, ap, cap in SETTINGS:
-        print(f"\n=== probing cc_iters_a00={a00} cc_iters_ap={ap} cap={cap} ===",
-              flush=True)
-        run_one(mesh, a00, ap, cap)
+    for a00, ap, cap, pp in SETTINGS:
+        print(f"\n=== probing cc_iters_a00={a00} cc_iters_ap={ap} cap={cap} "
+              f"pp={pp} ===", flush=True)
+        run_one(mesh, a00, ap, cap, pp)
 
 
 if __name__ == "__main__":
