@@ -13,9 +13,11 @@ table).  Design (round 1):
   * solution/residual vectors are REPLICATED; each device assembles its cell
     block and one ``psum`` over the mesh axis plays the role of
     ``compress(add)`` + ghost updates.  Krylov dot products need no
-    collective at all (vectors replicated).  This trades bandwidth
-    (O(n_dofs) allreduce per matvec) for simplicity and robustness; the
-    owned-range + ppermute halo-exchange optimization is a planned follow-up.
+    collective at all (vectors replicated).  This replicated path remains as
+    the robust fallback for the FLAT matvec; the production SPMD design is
+    the owned-range + ``ppermute`` halo exchange in
+    ``parallel/windowed_spmd.py`` + ``ops/windowed.py`` (O(halo) per-matvec
+    collectives, Epetra-ghost-exchange equivalent).
   * the SAME assembly/matvec kernels run single-device or inside shard_map:
     they psum iff ``ctx.axis_name`` is set.
 """
