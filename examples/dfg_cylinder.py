@@ -30,6 +30,11 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import numpy as np
 
+if os.environ.get("DFG_PLATFORM"):  # the axon plugin overrides JAX_PLATFORMS
+    import jax
+
+    jax.config.update("jax_platforms", os.environ["DFG_PLATFORM"])
+
 import navier_stokes_tpu as ns
 from navier_stokes_tpu.mesh.mesh import (
     circle_projector, extract_cells, refine_uniform, retag_boundary)
@@ -125,8 +130,16 @@ def main():
     # the pressure-Laplacian inner sweeps must track the mesh: Kp's condition
     # number grows as h^-2, so the refine=0 sweet spot (4) stalls the outer
     # FGMRES against its cap at refine>=1
-    cfg.krylov.cc_iters_a00 = int(os.environ.get("DFG_CC_A00", "2"))
+    cfg.krylov.cc_iters_a00 = int(os.environ.get("DFG_CC_A00", "2" if refine == 0 else "4"))
     cfg.krylov.cc_iters_ap = int(os.environ.get("DFG_CC_AP", "4" if refine == 0 else "10"))
+    # refine>=1 at developed flow: convection ~ mass in A00 (u*dt/h ~ 1), so
+    # the fixed CG micro-sweep emits divergent directions and the outer
+    # FGMRES saturates its cap -> under-converged Newton updates -> blowup
+    # at t~0.7 (observed).  The Jacobi-FGMRES inner sweep is convection-robust
+    # at the same matvec cost (see KrylovConfig.a00_solver).
+    cfg.krylov.a00_solver = os.environ.get(
+        "DFG_A00_SOLVER", "cg" if refine == 0 else "gmres"
+    )
 
     log = ns.RunLog(verbose=False)
     solver = ns.NavierStokesSolver(mesh, cfg, log=log, inlet=inflow)
@@ -134,7 +147,23 @@ def main():
     force = BoundaryForce(solver.dofs, tags=(13,), nu=cfg.nu, rho=cfg.rho)
     scale = 2.0 / (cfg.rho * u_mean**2 * D)
 
+    # checkpoint/resume: multi-hour production runs on a flaky tunnel must
+    # be restartable.  DFG_CKPT_EVERY chunks between saves (0 disables);
+    # DFG_RESUME=1 restores outdir/ckpt.h5 + the matching series prefix.
+    ckpt_every = int(os.environ.get("DFG_CKPT_EVERY", "20"))
+    ckpt_path = os.path.join(outdir, "ckpt.h5")
     series = []
+    resume = os.environ.get("DFG_RESUME", "0") == "1" and os.path.exists(ckpt_path)
+    if resume:
+        solver.restore_checkpoint(ckpt_path)
+        sp = os.path.join(outdir, "cd_cl_series.json")
+        if os.path.exists(sp):
+            with open(sp) as f:
+                series = json.load(f)["series"][: solver._step]
+        assert len(series) == solver._step, (
+            f"series length {len(series)} != checkpoint step {solver._step}"
+        )
+        print(f"resuming from t={solver.time:.4f} (step {solver._step})", flush=True)
     t_start = time.time()
 
     def progress(step, t, f_chunk, res=None, iters=None):
@@ -157,12 +186,18 @@ def main():
             flush=True,
         )
         _dump(outdir, re, dt, series, time.time() - t_start, partial=True)
+        progress.n_chunks = getattr(progress, "n_chunks", 0) + 1
+        if ckpt_every and progress.n_chunks % ckpt_every == 0:
+            solver.save_checkpoint(ckpt_path + ".tmp")
+            os.replace(ckpt_path + ".tmp", ckpt_path)  # atomic swap
 
     # device-resident scanned time loop: ONE host round trip per chunk —
     # per-step host<->device traffic (BC upload, functional/residual
     # download) otherwise dominates wall time on high-latency links
     solver.solve_scanned(
-        functional=force._force, chunk=int(os.environ.get("DFG_CHUNK", "10")), newton_iters=int(os.environ.get("DFG_SWEEPS", "2")), progress=progress
+        functional=force._force, chunk=int(os.environ.get("DFG_CHUNK", "10")),
+        newton_iters=int(os.environ.get("DFG_SWEEPS", "2")), progress=progress,
+        resume=resume,
     )
     wall = time.time() - t_start
     _dump(outdir, re, dt, series, wall, partial=False)

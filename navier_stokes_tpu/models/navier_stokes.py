@@ -859,10 +859,15 @@ class NavierStokesSolver:
         reference lacks (SURVEY §5: its HDF5 output is visualization-only)."""
         from ..io.checkpoint import save_checkpoint
 
+        old2 = getattr(self, "solution_old2", None)
         return save_checkpoint(
             path,
             solution=np.asarray(self._planar(self.solution), np.float64),
             solution_old=np.asarray(self._planar(self.solution_old), np.float64),
+            solution_old2=(
+                None if old2 is None
+                else np.asarray(self._planar(old2), np.float64)
+            ),
             time=self.time,
             step=step if step is not None else getattr(self, "_step", 0),
             config={"solver": self.cfg.to_dict(), "layout": self._layout_meta()},
@@ -888,12 +893,20 @@ class NavierStokesSolver:
                 f"n_total {self.dofs.n_total}"
             )
         sol, sol_old = d["solution"], d["solution_old"]
+        sol_old2 = d.get("solution_old2")
         if self._dist is not None:
             from ..parallel.windowed_spmd import to_dist
 
             sol, sol_old = to_dist(sol, self._dist), to_dist(sol_old, self._dist)
+            if sol_old2 is not None:
+                sol_old2 = to_dist(sol_old2, self._dist)
         self.solution = jnp.asarray(sol, dtype=self._dtype)
         self.solution_old = jnp.asarray(sol_old, dtype=self._dtype)
+        # BDF2 second history level: restored when present so a resumed run
+        # continues second-order without a BDF1 bootstrap step
+        self.solution_old2 = (
+            None if sol_old2 is None else jnp.asarray(sol_old2, dtype=self._dtype)
+        )
         self.time = d["time"]
         self._step = d["step"]
         return self
@@ -1061,6 +1074,10 @@ class NavierStokesSolver:
             done += m
             self.time = t0 + done * cfg.dt
             self._step = int(getattr(self, "_step", 0)) + m
+            # keep the solver state current at every chunk boundary so a
+            # progress callback can save_checkpoint() mid-run (3h production
+            # runs on a flaky link need restartability, SURVEY §5)
+            self.solution, self.solution_old, self.solution_old2 = u, uo, uo2
             fs.append(np.asarray(f))
             rs.append(np.asarray(r))
             its.append(np.asarray(it))

@@ -158,3 +158,70 @@ def test_bootstrap_single_process_noop():
     assert bootstrap.initialize_distributed() is False
     assert bootstrap.process_count() == 1
     assert bootstrap.is_coordinator()
+
+
+def _collect_collectives(jaxpr, out):
+    """Walk a (Closed)Jaxpr recursively, recording collective ops."""
+    jaxpr = getattr(jaxpr, "jaxpr", jaxpr)
+    for eqn in jaxpr.eqns:
+        if eqn.primitive.name in ("ppermute", "psum", "all_gather",
+                                  "all_to_all", "reduce_scatter"):
+            out.append(
+                (eqn.primitive.name,
+                 sum(int(np.prod(v.aval.shape)) for v in eqn.invars))
+            )
+        for p in eqn.params.values():
+            for sub in (p if isinstance(p, (tuple, list)) else (p,)):
+                if hasattr(sub, "eqns") or hasattr(sub, "jaxpr"):
+                    _collect_collectives(sub, out)
+
+
+def _matvec_collectives(n_dev, refine):
+    dofs, lay, A_t, x = _problem(n_dev, refine=refine)
+    dl = wspmd.make_dist_layout(lay, n_dev)
+    mesh = device_mesh(n_dev, axis=wspmd.AXIS)
+    lay_s = wspmd.shard_layout(lay, dl, mesh)
+    fn = shard_map(
+        lambda la, A, v: windowed_matvec(la, A, v, axis_name=wspmd.AXIS),
+        mesh,
+        in_specs=(wspmd.layout_pspecs(lay_s), P(None, None, wspmd.AXIS), P(wspmd.AXIS)),
+        out_specs=P(wspmd.AXIS),
+    )
+    xd = jnp.asarray(wspmd.to_dist(np.asarray(x), dl))
+    jaxpr = jax.make_jaxpr(fn)(lay_s, A_t, xd)
+    ops = []
+    _collect_collectives(jaxpr, ops)
+    return lay, dofs, ops
+
+
+def test_sharded_matvec_collective_volume_is_o_halo():
+    """VERDICT r1 item 1 'done' criterion: per-matvec collective volume must
+    be O(halo) — bounded by the layout's halo constants (h*OW per space) and
+    INDEPENDENT of the mesh size — and a pure matvec needs no psum at all
+    (round-1's replicated design psum-ed O(n_dofs) per matvec)."""
+    lay, dofs, ops = _matvec_collectives(2, refine=6)
+    assert ops, "sharded matvec must exchange halos via ppermute"
+    assert all(name == "ppermute" for name, _ in ops), (
+        f"pure matvec must not use psum/all_gather: {ops}"
+    )
+    # each transfer is at most one halo edge of one space
+    per_edge_max = max(lay.hv * lay.OWv, lay.hp * lay.OWp)
+    for name, sz in ops:
+        assert sz <= per_edge_max, (name, sz, per_edge_max)
+    # O(halo), not O(n): grow the mesh 4x in cells; the collective volume is
+    # bounded by the layout's locality constants (h, OW — which may step up
+    # with connectivity, but not with nb), so the halo FRACTION of the
+    # vector must strictly shrink — round-1's replicated design was O(n)
+    lay2, dofs2, ops2 = _matvec_collectives(2, refine=12)
+    assert dofs2.n_total >= 3 * dofs.n_total  # the problem really grew
+    assert all(name == "ppermute" for name, _ in ops2)
+    per_edge_max2 = max(lay2.hv * lay2.OWv, lay2.hp * lay2.OWp)
+    assert all(sz <= per_edge_max2 for _, sz in ops2)
+    total1 = sum(sz for _, sz in ops)
+    total2 = sum(sz for _, sz in ops2)
+    assert total2 * dofs.n_total < total1 * dofs2.n_total, (
+        f"halo volume must grow sublinearly: {total1}/{dofs.n_total} -> "
+        f"{total2}/{dofs2.n_total}"
+    )
+    # ... and at the larger size it is a small fraction of a device slice
+    assert total2 < dofs2.n_total // 2, (total2, dofs2.n_total)
