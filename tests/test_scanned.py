@@ -56,3 +56,32 @@ def test_scanned_functional_and_progress():
     assert out["functional"].shape == (5, 2)
     assert np.all(np.isfinite(out["functional"]))
     assert [c[0] for c in calls] == [3, 5]
+
+
+def test_scanned_checkpoint_resume_bit_identical(tmp_path):
+    """Production resilience: a BDF2 scanned run killed mid-way and resumed
+    from a chunk-boundary checkpoint must reproduce the uninterrupted
+    trajectory BIT-identically (state rebind at chunk boundaries + the BDF2
+    second history level in the checkpoint)."""
+    ck = str(tmp_path / "ck.h5")
+
+    ref = _mk("bdf2")
+    ref.cfg.T = 0.30  # 6 steps
+    ref.solve_scanned(chunk=2, newton_iters=2)
+    u_ref = np.asarray(ref.solution)
+
+    a = _mk("bdf2")
+    a.cfg.T = 0.15  # first 3 steps... but chunk=2 -> stop at step 4? no: 3
+    # run an uneven prefix (2 chunks of 2 = steps 1-4 would overshoot T;
+    # use T=0.20 -> 4 steps = 2 full chunks, a clean chunk boundary)
+    a.cfg.T = 0.20
+    a.solve_scanned(chunk=2, newton_iters=2)
+    a.save_checkpoint(ck)
+
+    b = _mk("bdf2")
+    b.cfg.T = 0.30
+    b.restore_checkpoint(ck)
+    assert b.solution_old2 is not None  # BDF2 history restored
+    assert b._step == 4
+    b.solve_scanned(chunk=2, newton_iters=2, resume=True)
+    np.testing.assert_array_equal(np.asarray(b.solution), u_ref)
