@@ -29,15 +29,22 @@ REPS = int(os.environ.get("PROF_REPS", "10"))
 
 
 def timed(fn, *args, reps=REPS, label=""):
-    out = fn(*args)
-    jax.block_until_ready(out)
-    # close timing with a host read (axon block_until_ready caveat)
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+    """fn is wrapped so only SCALAR checksums leave the device: pulling a
+    124 MB A_t through the (possibly degraded) axon tunnel would otherwise
+    dominate the measurement."""
+
+    @jax.jit
+    def wrapped(*a):
+        out = fn(*a)
+        return sum(jnp.sum(o) for o in jax.tree.leaves(out))
+
+    # warmup + close each timing with a host SCALAR read (axon
+    # block_until_ready can return before remote execution completes)
+    float(np.asarray(wrapped(*args)))
     t0 = time.perf_counter()
     for _ in range(reps):
-        out = fn(*args)
-    jax.block_until_ready(out)
-    float(np.asarray(jax.tree.leaves(out)[0]).ravel()[0])
+        out = wrapped(*args)
+    float(np.asarray(out))
     dt = (time.perf_counter() - t0) / reps * 1e3
     print(f"{label:34s} {dt:8.2f} ms", flush=True)
     return dt
