@@ -57,6 +57,14 @@ def main():
     cfg.krylov.restart = 60
     cfg.krylov.matvec = os.environ.get("BENCH_MATVEC", "windowed")
     cfg.krylov.preconditioner = PRECOND  # flagship: windowed Cahouet-Chabard
+    # inner-sweep knobs track the mesh (Kp condition ~ h^-2; see the DFG
+    # example's guidance): env-overridable for on-hardware sweeps
+    if os.environ.get("BENCH_CC_A00"):
+        cfg.krylov.cc_iters_a00 = int(os.environ["BENCH_CC_A00"])
+    if os.environ.get("BENCH_CC_AP"):
+        cfg.krylov.cc_iters_ap = int(os.environ["BENCH_CC_AP"])
+    if os.environ.get("BENCH_A00_SOLVER"):
+        cfg.krylov.a00_solver = os.environ["BENCH_A00_SOLVER"]
 
     solver = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False))
     solver.setup()

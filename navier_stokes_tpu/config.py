@@ -64,6 +64,16 @@ class KrylovConfig:
     # (outer iterations 60 vs 204)
     cc_iters_a00: int = 2
     cc_iters_ap: int = 4
+    # two-level coarse correction for the cahouet_chabard pressure-Laplacian
+    # sweep: aggregate this many consecutive pressure dofs (SFC/blocked
+    # numbering => spatially compact aggregates) into one piecewise-constant
+    # coarse basis function; the coarse Galerkin matrix Zt Kp Z is inverted
+    # densely ONCE on host and applied per CG iteration as one tiny MXU
+    # matmul (M^-1 = diag^-1 + Z Kc^-1 Zt, SPD).  Fixed dofs-per-aggregate
+    # makes the preconditioned condition number ~O(agg) independent of h, so
+    # cc_iters_ap no longer needs the h^-2 scaling (16 at 388k, 24 at 1.5M
+    # DoF) that plain Jacobi-CG required.  0 disables (pure Jacobi).
+    cc_coarse_agg: int = 128
     # inner solver for the windowed Schur preconditioners' A00 sweeps
     # (cahouet_chabard, block_triangular, block_diagonal): "cg" matches the
     # reference (hpp:598) and is valid for the mass-dominated tangents of

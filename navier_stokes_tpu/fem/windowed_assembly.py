@@ -61,6 +61,12 @@ class WindowedAssembly:
     Kp_t: jax.Array  # [k_p, roundup(k_p, 8), ncd]
     diag_kp: jax.Array  # [n_ps]
     dim: int = field(metadata=dict(static=True))
+    # two-level coarse correction for the Kp sweeps (KrylovConfig.
+    # cc_coarse_agg): global aggregate id per pressure dof (holes -> sentinel
+    # m, dropped) and the dense inverse of the coarse Galerkin matrix
+    # Zt Kp Z [m, m].  None when disabled.
+    agg_p: jax.Array | None = None  # [n_ps] int32, values in [0, m]
+    coarse_inv: jax.Array | None = None  # [m, m]
 
 
 def compute_r_const(ctx, p_out, f_q=None) -> np.ndarray:
@@ -87,7 +93,7 @@ def compute_r_const(ctx, p_out, f_q=None) -> np.ndarray:
 
 def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_out,
                             jacobian_mass_rho=False, terms="navier_stokes",
-                            pin_pdofs=None):
+                            pin_pdofs=None, coarse_agg=0):
     """Precompute geometry + constant terms from a FEMContext (natural order).
 
     ctx: fem.assembly.FEMContext on the SAME blocked-renumbered dofs.
@@ -190,6 +196,41 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
         Kp_t[:, :k_p] *= alive.T[None, :, :]
         Kp_t[np.arange(k_p), np.arange(k_p), :] = diag_save
 
+    # ---- two-level coarse space for the Kp sweeps -------------------------
+    # Piecewise-constant aggregation over runs of coarse_agg consecutive
+    # pressure dofs (the blocked/SFC numbering makes runs spatially compact).
+    # Kc = Zt Kp_pinned Z is assembled from the SAME valid cell copies the
+    # windowed operator scatters, so the coarse matrix is the exact Galerkin
+    # restriction of the operator the CG sweep sees; its dense inverse is a
+    # host one-time cost (m capped at 4096).
+    agg_p = None
+    coarse_inv = None
+    if coarse_agg and coarse_agg > 0:
+        s_agg = max(int(coarse_agg), -(-dofs.n_ps // 4096))
+        m = -(-dofs.n_ps // s_agg)
+        agg = np.arange(dofs.n_ps, dtype=np.int64) // s_agg
+        if dofs.p_mask is not None:  # hole dofs: sentinel segment m (dropped)
+            agg = np.where(np.asarray(dofs.p_mask, bool), agg, m)
+        Kp_pin = Kp_t[:, :k_p, :][:, :, valid]  # pinned cell matrices
+        a_cell = agg[cpd]  # [nv, k_p]
+        nv = a_cell.shape[0]
+        ii = np.broadcast_to(a_cell[:, :, None], (nv, k_p, k_p))
+        jj = np.broadcast_to(a_cell[:, None, :], (nv, k_p, k_p))
+        Kc = np.zeros((m + 1, m + 1))
+        np.add.at(Kc, (ii.ravel(), jj.ravel()), Kp_pin.transpose(2, 0, 1).ravel())
+        Kc = Kc[:m, :m]
+        d = np.diagonal(Kc).copy()
+        Kc[np.arange(m), np.arange(m)] = np.where(d > 0, d, 1.0)  # all-hole aggs
+        if pin_pdofs is None or not len(pin_pdofs):
+            # pure-Neumann Kp: shift off the constant nullspace (preconditioner
+            # quality is insensitive to the exact shift)
+            Kc[np.arange(m), np.arange(m)] += 1e-6 * (np.trace(Kc) / m)
+        coarse_inv = np.linalg.inv(Kc)
+        if not np.isfinite(coarse_inv).all():
+            Kc[np.arange(m), np.arange(m)] += 1e-8 * (np.trace(Kc) / m)
+            coarse_inv = np.linalg.inv(Kc)
+        agg_p = agg
+
     as_f = lambda a: jnp.asarray(a, dtype=dtype)
     return WindowedAssembly(
         N_v=as_f(N_v),
@@ -203,6 +244,8 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
         Kp_t=as_f(Kp_t),
         diag_kp=as_f(diag_kp),
         dim=dim,
+        agg_p=None if agg_p is None else jnp.asarray(agg_p, jnp.int32),
+        coarse_inv=None if coarse_inv is None else as_f(coarse_inv),
     )
 
 

@@ -36,6 +36,8 @@ from ..mesh.mesh import Mesh
 from ..mesh.msh_io import read_msh
 from ..utils.logging import RunLog
 
+_PREC_HI = jax.lax.Precision.HIGHEST
+
 __all__ = ["NavierStokesSolver"]
 
 
@@ -219,6 +221,7 @@ class NavierStokesSolver:
                 p_out=cfg.p_out,
                 jacobian_mass_rho=cfg.jacobian_mass_rho,
                 pin_pdofs=self.dofs.boundary_scalar_pdofs(cfg.neumann_tags),
+                coarse_agg=cfg.krylov.cc_coarse_agg,
             )
 
         # Dirichlet: inlet first, walls override on shared DoFs (cpp:354-373)
@@ -370,6 +373,24 @@ class NavierStokesSolver:
                 )
 
             pKp = jacobi(wa.diag_kp)
+            if wa.coarse_inv is not None:
+                # two-level: M^-1 = D^-1 + Z Kc^-1 Zt (SPD additive coarse
+                # correction; KrylovConfig.cc_coarse_agg).  The [m] restriction
+                # is global — one tiny psum under SPMD — and holes route to the
+                # dropped sentinel segment m.
+                m_c = wa.coarse_inv.shape[0]
+                jac_kp = pKp
+
+                def pKp(r, _jac=jac_kp):
+                    s = jax.ops.segment_sum(
+                        r.astype(wa.coarse_inv.dtype), wa.agg_p,
+                        num_segments=m_c + 1,
+                    )[:m_c]
+                    if axis_name is not None:
+                        s = jax.lax.psum(s, axis_name)
+                    y = jnp.dot(wa.coarse_inv, s, precision=_PREC_HI)
+                    y_ext = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
+                    return _jac(r) + y_ext[wa.agg_p].astype(r.dtype)
             if mass_coef is None:
                 # time-stepping tangent: A00 ~ coef/dt_tangent * M => S^-1's
                 # Laplacian term carries the same coefficient (BDF2 folds its

@@ -173,6 +173,10 @@ def wa_pspecs(wa: WindowedAssembly, axis: str = AXIS) -> WindowedAssembly:
         inv_mp=P(axis),  # [n_ps] = [nb * OWp], block-contiguous
         Kp_t=P(None, None, axis),  # [k_p, k_p8, ncd]
         diag_kp=P(axis),  # [n_ps], block-contiguous
+        # coarse correction: local rows keep their GLOBAL aggregate ids; the
+        # tiny dense inverse is replicated (its psum'd [m] input is global)
+        agg_p=None if wa.agg_p is None else P(axis),
+        coarse_inv=None if wa.coarse_inv is None else rep,
     )
 
 

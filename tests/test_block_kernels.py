@@ -107,6 +107,65 @@ def test_kp_is_pressure_laplacian(setup):
     _np.testing.assert_allclose(_np.asarray(wa.diag_kp)[real], diag[real], rtol=1e-8)
 
 
+def test_coarse_correction_galerkin_and_speedup(setup):
+    """KrylovConfig.cc_coarse_agg two-level correction: (a) coarse_inv is the
+    inverse of the exact Galerkin restriction Zt Kp Z of the operator the CG
+    sweep applies; (b) two-level CG needs strictly fewer iterations than
+    Jacobi-CG on the pressure Laplacian (the h^-2 growth killer)."""
+    import jax
+
+    from navier_stokes_tpu.la.cg import cg
+    from navier_stokes_tpu.la.preconditioners import jacobi
+
+    dofs, ctx, lay, A_t, x, _ = setup
+    wa = build_windowed_assembly(
+        ctx, lay, dofs, dt=0.1, nu=0.01, rho=1.0, p_out=2.0,
+        pin_pdofs=dofs.boundary_scalar_pdofs((1,)), coarse_agg=16,
+    )
+    assert wa.coarse_inv is not None
+    m = wa.coarse_inv.shape[0]
+    agg = np.asarray(wa.agg_p)
+
+    # (a) Galerkin consistency: for each coarse basis vector z_a, the
+    # restriction of Kp z_a must equal column a of inv(coarse_inv)
+    def Kp_mv(p):
+        return windowed_matvec_block(
+            lay, wa.Kp_t, p, in_spaces="p", out_spaces="p", passes=3
+        )
+
+    Kc = np.linalg.inv(np.asarray(wa.coarse_inv, np.float64))
+    live = np.unique(agg[agg < m]) if dofs.p_mask is None else np.unique(
+        agg[(agg < m) & np.asarray(dofs.p_mask, bool)]
+    )  # aggregates with >=1 real dof (all-hole ones carry the unit-diag guard)
+    for a in live[:: max(1, len(live) // 4)]:
+        z = jnp.asarray((agg == a).astype(np.float64))
+        col = np.asarray(jax.ops.segment_sum(Kp_mv(z), jnp.asarray(agg), num_segments=m + 1))[:m]
+        expect = Kc[:, a].copy()
+        expect[np.setdiff1d(np.arange(m), live)] = 0.0  # unit-diag guard rows
+        np.testing.assert_allclose(col, expect, rtol=1e-6, atol=1e-8)
+
+    # (b) iteration-count win on a random RHS (real dofs only)
+    rng = np.random.default_rng(7)
+    b = rng.standard_normal(dofs.n_ps)
+    if dofs.p_mask is not None:
+        b *= np.asarray(dofs.p_mask, float)
+    b = jnp.asarray(b)
+    atol = 1e-8 * float(jnp.linalg.norm(b))
+    pj = jacobi(wa.diag_kp)
+    r_j = cg(Kp_mv, b, atol=atol, maxiter=500, precond=pj)
+
+    def p2(r):
+        s = jax.ops.segment_sum(
+            r.astype(wa.coarse_inv.dtype), wa.agg_p, num_segments=m + 1
+        )[:m]
+        y = jnp.dot(wa.coarse_inv, s, precision=jax.lax.Precision.HIGHEST)
+        return pj(r) + jnp.concatenate([y, jnp.zeros((1,), y.dtype)])[wa.agg_p]
+
+    r_2 = cg(Kp_mv, b, atol=atol, maxiter=500, precond=p2)
+    assert float(r_2.residual) <= atol * 1.01
+    assert int(r_2.iters) < int(r_j.iters)
+
+
 def _solve(precond, initial_guess="zero", n_devices=None):
     cfg = SolverConfig(
         inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
