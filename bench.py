@@ -220,7 +220,16 @@ def main():
                 else rectangle(160, 80, 0, 7, 0, 4),
                 2,
             )
-            s2 = NavierStokesSolver(big, cfg, log=RunLog(verbose=False))
+            import dataclasses as _dc
+
+            # bound the big leg's single device execution: an uncapped
+            # 2000-iteration runaway at 1.55M DoF exceeds the axon execution
+            # watchdog and crashes the TPU worker (observed); a healthy solve
+            # here takes ~20 iterations
+            cfg_big = _dc.replace(
+                cfg, krylov=_dc.replace(cfg.krylov, max_iters=300)
+            )
+            s2 = NavierStokesSolver(big, cfg_big, log=RunLog(verbose=False))
             s2.setup()
             n2 = s2.dofs.n_total
             uo2 = s2.solution_old

@@ -67,6 +67,11 @@ class WindowedAssembly:
     # Zt Kp Z [m, m].  None when disabled.
     agg_p: jax.Array | None = None  # [n_ps] int32, values in [0, m]
     coarse_inv: jax.Array | None = None  # [m, m]
+    # aggregate run length: aggregates are CONTIGUOUS runs of this many
+    # pressure dofs, so single-device restriction/prolongation is a dense
+    # reshape-sum/broadcast (TPU segment_sum lowers to a slow scatter:
+    # measured 3 ms/apply at 543k DoF vs ~0 for the reshape)
+    coarse_agg_size: int = field(default=0, metadata=dict(static=True))
 
 
 def compute_r_const(ctx, p_out, f_q=None) -> np.ndarray:
@@ -246,6 +251,7 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
         dim=dim,
         agg_p=None if agg_p is None else jnp.asarray(agg_p, jnp.int32),
         coarse_inv=None if coarse_inv is None else as_f(coarse_inv),
+        coarse_agg_size=0 if coarse_inv is None else s_agg,
     )
 
 

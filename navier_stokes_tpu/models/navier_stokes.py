@@ -381,16 +381,37 @@ class NavierStokesSolver:
                 m_c = wa.coarse_inv.shape[0]
                 jac_kp = pKp
 
-                def pKp(r, _jac=jac_kp):
-                    s = jax.ops.segment_sum(
-                        r.astype(wa.coarse_inv.dtype), wa.agg_p,
-                        num_segments=m_c + 1,
-                    )[:m_c]
-                    if axis_name is not None:
-                        s = jax.lax.psum(s, axis_name)
-                    y = jnp.dot(wa.coarse_inv, s, precision=_PREC_HI)
-                    y_ext = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
-                    return _jac(r) + y_ext[wa.agg_p].astype(r.dtype)
+                if axis_name is None and wa.coarse_agg_size:
+                    # single device: aggregates are contiguous runs, so Z/Zt
+                    # are a dense reshape-sum + broadcast (the segment_sum
+                    # below lowers to a TPU scatter costing ~3 ms/apply at
+                    # 543k DoF; this path is ~free)
+                    sa = wa.coarse_agg_size
+                    nps_l = wa.diag_kp.shape[0]
+                    npad = m_c * sa - nps_l
+                    hole = wa.agg_p >= m_c
+
+                    def pKp(r, _jac=jac_kp):
+                        rm = jnp.where(hole, 0.0, r).astype(wa.coarse_inv.dtype)
+                        seg = jnp.pad(rm, (0, npad)).reshape(m_c, sa).sum(axis=1)
+                        y = jnp.dot(wa.coarse_inv, seg, precision=_PREC_HI)
+                        corr = jnp.broadcast_to(
+                            y[:, None], (m_c, sa)
+                        ).reshape(-1)[:nps_l]
+                        return _jac(r) + jnp.where(hole, 0.0, corr).astype(r.dtype)
+
+                else:
+
+                    def pKp(r, _jac=jac_kp):
+                        s = jax.ops.segment_sum(
+                            r.astype(wa.coarse_inv.dtype), wa.agg_p,
+                            num_segments=m_c + 1,
+                        )[:m_c]
+                        if axis_name is not None:
+                            s = jax.lax.psum(s, axis_name)
+                        y = jnp.dot(wa.coarse_inv, s, precision=_PREC_HI)
+                        y_ext = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
+                        return _jac(r) + y_ext[wa.agg_p].astype(r.dtype)
             if mass_coef is None:
                 # time-stepping tangent: A00 ~ coef/dt_tangent * M => S^-1's
                 # Laplacian term carries the same coefficient (BDF2 folds its

@@ -165,6 +165,28 @@ def test_coarse_correction_galerkin_and_speedup(setup):
     assert float(r_2.residual) <= atol * 1.01
     assert int(r_2.iters) < int(r_j.iters)
 
+    # (c) the single-device reshape formulation of Z/Zt (contiguous
+    # aggregate runs; the fast path in _make_windowed_preconditioner) must
+    # equal the segment-sum formulation exactly
+    sa = wa.coarse_agg_size
+    npad = m * sa - dofs.n_ps
+    hole = np.asarray(wa.agg_p) >= m
+    rm = jnp.where(jnp.asarray(hole), 0.0, b).astype(wa.coarse_inv.dtype)
+    seg_r = jnp.pad(rm, (0, npad)).reshape(m, sa).sum(axis=1)
+    seg_s = jax.ops.segment_sum(
+        b.astype(wa.coarse_inv.dtype), wa.agg_p, num_segments=m + 1
+    )[:m]
+    np.testing.assert_allclose(np.asarray(seg_r), np.asarray(seg_s),
+                               rtol=1e-12, atol=1e-12)
+    y = jnp.dot(wa.coarse_inv, seg_s, precision=jax.lax.Precision.HIGHEST)
+    pro_r = jnp.where(
+        jnp.asarray(hole), 0.0,
+        jnp.broadcast_to(y[:, None], (m, sa)).reshape(-1)[: dofs.n_ps],
+    )
+    pro_s = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])[wa.agg_p]
+    np.testing.assert_allclose(np.asarray(pro_r), np.asarray(pro_s),
+                               rtol=1e-12, atol=1e-12)
+
 
 def _solve(precond, initial_guess="zero", n_devices=None):
     cfg = SolverConfig(
