@@ -119,11 +119,14 @@ def main():
         timing must close with a device->host scalar transfer."""
         return [float(np.asarray(o.ravel()[0])) for o in jax.tree.leaves(out)]
 
-    # warm up (compile)
+    # warm up (compile).  Each rep gets a DISTINCT input value (cheap device
+    # rescale): the axon remote runtime can serve a bit-identical
+    # (executable, inputs) launch from a server-side cache, which would make
+    # this, the headline metric, bogus (same defeat as the Newton loop below)
     sync(assemble_only(u, u_old))
     t0 = time.perf_counter()
-    for _ in range(REPS):
-        out = assemble_only(u, u_old)
+    for i in range(REPS):
+        out = assemble_only(u + (1e-7 * (i + 1)), u_old)
     sync(out)
     t_assembly = (time.perf_counter() - t0) / REPS
     print(f"# assembly {t_assembly*1e3:.1f} ms", file=sys.stderr, flush=True)
@@ -186,8 +189,8 @@ def main():
         A_t = _amat(wa, lay, u_state, u_old)
         sync(_mv(lay, A_t, u_state)[1])
         t0 = time.perf_counter()
-        for _ in range(REPS):
-            _, chk = _mv(lay, A_t, u_state)
+        for i in range(REPS):  # distinct input per rep (axon repeat-cache)
+            _, chk = _mv(lay, A_t, u_state * (1.0 + 1e-6 * (i + 1)))
         float(np.asarray(chk))
         t_mv = (time.perf_counter() - t0) / REPS
         print(f"# matvec {t_mv*1e3:.2f} ms", file=sys.stderr, flush=True)

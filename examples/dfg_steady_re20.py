@@ -34,44 +34,10 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/jaxcache")
 
 import numpy as np
 
-import navier_stokes_tpu as ns
-from navier_stokes_tpu.mesh.mesh import (
-    circle_projector, extract_cells, refine_uniform, retag_boundary)
+import navier_stokes_tpu as ns  # noqa: F401 (re-exported surface used below)
 from navier_stokes_tpu.models.functionals import BoundaryForce, BoundaryReaction
 
-D = 0.1
-H = 0.41
-
-
-def tag_fn(mid):
-    tags = np.full(len(mid), 12, dtype=np.int32)
-    tags[np.isclose(mid[:, 0], -0.2, atol=1e-6)] = 11
-    tags[np.isclose(mid[:, 0], 2.0, atol=1e-6)] = 10
-    r = np.linalg.norm(mid, axis=1)
-    tags[r < 0.09] = 13
-    return tags
-
-
-def load_dfg_mesh(refine: int):
-    """mesh_poli.msh -> true DFG fluid domain.
-
-    The shipped mesh_poli* meshes mesh the cylinder INTERIOR (212 live cells
-    inside r=0.05, the circle is an internal facet loop): solved as-is, the
-    trapped interior fluid pins a near-constant pressure onto the circle
-    nodes, wiping out the front/back pressure difference (measured Cd 2.95 /
-    dP 0.027 vs published 5.58 / 0.1175 on DFG 2D-1).  Extract the exterior
-    cells, retag geometrically, and refine with new cylinder vertices SNAPPED
-    onto the circle (deal.II-manifold equivalent; without it the cylinder
-    stays the original 32-gon at every refinement level)."""
-    mesh = ns.read_msh("/root/reference/mesh/mesh_poli.msh")
-    vr = np.linalg.norm(mesh.coords, axis=1)
-    mesh = extract_cells(mesh, vr[mesh.cells].max(axis=1) > 0.05 + 1e-9)
-    mesh = retag_boundary(mesh, tag_fn)
-    if refine:
-        mesh = refine_uniform(
-            mesh, refine, snap_boundary={13: circle_projector((0.0, 0.0), 0.05)}
-        )
-    return mesh
+from dfg_common import D, H, load_dfg_mesh  # noqa: F401 (shared DFG geometry)
 
 
 def main():

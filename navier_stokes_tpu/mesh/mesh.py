@@ -286,12 +286,31 @@ def _refine_once(mesh: Mesh, snap_boundary: dict | None = None) -> Mesh:
 
 
 def _facet_keys(f: np.ndarray, n_nodes: int) -> np.ndarray:
-    """Collision-free int64 key per (sorted) facet row."""
+    """Collision-free int64 key per (sorted) facet row.
+
+    Only valid while (n_nodes+1)**n_facet_nodes < 2**63 — callers must use
+    :func:`_facet_ids` which falls back to lexicographic row ids when base
+    packing would overflow (3D meshes above ~2M nodes)."""
     f = np.sort(f.astype(np.int64), axis=1)
     key = f[:, 0]
     for j in range(1, f.shape[1]):
         key = key * (n_nodes + 1) + f[:, j]
     return key
+
+
+def _facet_ids(cf: np.ndarray, bf: np.ndarray, n_nodes: int):
+    """Shared collision-free int64 ids for two facet-row arrays.
+
+    Fast path: base-(n_nodes+1) packing.  When that would overflow int64,
+    rank rows lexicographically over the concatenated set instead
+    (np.unique(axis=0) inverse indices) — unbounded node counts."""
+    k = cf.shape[1]
+    if (n_nodes + 1) ** k < 2**62:  # margin below int64 max
+        return _facet_keys(cf, n_nodes), _facet_keys(bf, n_nodes)
+    allf = np.sort(np.concatenate([cf, bf]).astype(np.int64), axis=1)
+    _, inv = np.unique(allf, axis=0, return_inverse=True)
+    inv = inv.astype(np.int64)
+    return inv[: len(cf)], inv[len(cf):]
 
 
 def extract_cells(mesh: Mesh, keep) -> Mesh:
@@ -326,8 +345,8 @@ def extract_cells(mesh: Mesh, keep) -> Mesh:
     cf = np.concatenate(
         [cells[:, list(c)] for c in combinations(range(dim + 1), dim)]
     )
-    cf_keys = np.sort(_facet_keys(cf, mesh.n_nodes))
-    bf_keys = _facet_keys(mesh.boundary_facets, mesh.n_nodes)
+    cf_keys, bf_keys = _facet_ids(cf, mesh.boundary_facets, mesh.n_nodes)
+    cf_keys = np.sort(cf_keys)
     lo = np.searchsorted(cf_keys, bf_keys, side="left")
     hi = np.searchsorted(cf_keys, bf_keys, side="right")
     keep_bf = (hi - lo) == 1  # facet of exactly one surviving cell

@@ -81,7 +81,7 @@ class BoundaryReaction:
     def force(self, u, u_old=None, dt=None) -> np.ndarray:
         u = jnp.asarray(u)
         uo = u if u_old is None else jnp.asarray(u_old)
-        return np.asarray(self._eval(u, uo, dt or self._dt))
+        return np.asarray(self._eval(u, uo, self._dt if dt is None else dt))
 
     def coefficients(self, u, u_mean, length, u_old=None, dt=None):
         f = self.force(u, u_old, dt)

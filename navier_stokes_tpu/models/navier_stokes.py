@@ -48,14 +48,20 @@ def _takes_time(forcing) -> bool:
     import inspect
 
     try:
-        fn = forcing if inspect.isfunction(forcing) or inspect.ismethod(forcing) else forcing.__call__
+        # signature() on the object itself resolves functools.partial and
+        # plain functions correctly; only fall back to __call__ for class
+        # instances (where signature() would see self-excluded params anyway)
+        try:
+            sig = inspect.signature(forcing)
+        except (TypeError, ValueError):
+            sig = inspect.signature(forcing.__call__)
         params = [
             p
-            for p in inspect.signature(fn).parameters.values()
+            for p in sig.parameters.values()
             if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
         ]
         return len(params) >= 2
-    except (TypeError, ValueError):
+    except (TypeError, ValueError, AttributeError):
         return False
 
 
@@ -844,19 +850,20 @@ class NavierStokesSolver:
         ):
             log.banner()
             log.print("Assembling the system")
+            forced = n_iter < cfg.newton.min_iters
             with self.timers("newton_iteration"):
                 self.solution, rn, gmres_iters, kconv, kres = self._newton_iteration(
-                    self.solution, u_old_arg, bc_vals, dt_res,
-                    n_iter < cfg.newton.min_iters,
+                    self.solution, u_old_arg, bc_vals, dt_res, forced,
                 )
                 res_norm = float(rn)  # host sync inside the timed region
             log.banner()
             log.newton_residual(n_iter, cfg.newton.max_iters, res_norm)
-            if res_norm > cfg.newton.tol:
+            # a solve happened if the residual was above tol OR min_iters
+            # forced one: surface tangent-solve failure in BOTH cases —
+            # deal.II's SolverControl throws NoConvergence (cpp:566-585)
+            if res_norm > cfg.newton.tol or forced:
                 log.print("Solving system...")
                 log.gmres_iters(int(gmres_iters))
-                # tangent-solve failure is surfaced, not silently swallowed:
-                # deal.II's SolverControl throws NoConvergence (cpp:566-585)
                 if not bool(kconv):
                     log.krylov_failure(int(gmres_iters), float(kres))
                     if cfg.krylov.on_failure == "raise":
@@ -866,7 +873,7 @@ class NavierStokesSolver:
                             f"(deal.II SolverControl::NoConvergence equivalent)"
                         )
                 log.print("System solved!")
-            else:
+            if res_norm <= cfg.newton.tol:
                 log.newton_converged()
             n_iter += 1
         return n_iter, res_norm
@@ -1105,6 +1112,21 @@ class NavierStokesSolver:
             f"Scanned time loop: {n_steps} steps x {K} Newton its, "
             f"chunk {chunk} ({cfg.time_scheme})"
         )
+        # decide the progress-callback arity ONCE up front: catching
+        # TypeError around the call itself would re-invoke (and duplicate the
+        # side effects of) a modern callback that raised TypeError internally
+        prog_legacy = False
+        if progress is not None:
+            import inspect
+
+            try:
+                sig = inspect.signature(progress)
+                prog_legacy = not any(
+                    p.name in ("res", "iters") or p.kind == p.VAR_KEYWORD
+                    for p in sig.parameters.values()
+                )
+            except (TypeError, ValueError):
+                prog_legacy = False
         done = 0
         while done < n_steps:
             m = min(chunk, n_steps - done)
@@ -1128,13 +1150,13 @@ class NavierStokesSolver:
                 f"||r|| = {float(rs[-1][-1]):.3e}  gmres/step ~ {float(np.mean(its[-1])):.0f}"
             )
             if progress is not None:
-                try:
+                if prog_legacy:  # legacy 3-arg callback
+                    progress(self._step, self.time, fs[-1])
+                else:
                     progress(
                         self._step, self.time, fs[-1],
                         res=rs[-1], iters=its[-1],
                     )
-                except TypeError:  # legacy 3-arg callback
-                    progress(self._step, self.time, fs[-1])
         self.solution, self.solution_old = u, uo
         self.solution_old2 = uo2
         return {

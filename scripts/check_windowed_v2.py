@@ -43,7 +43,7 @@ def main():
     n = dofs.n_total
     print(f"n={n} nb={lay.nb} Bmax={lay.Bmax} Bc={lay.Bc} nchunks={lay.nchunks} "
           f"OWv={lay.OWv} hv={lay.hv} RWv={lay.RWv} RVv={lay.RVv} RVp={lay.RVp} "
-          f"dup={lay.dup_factor:.2f} ncd={lay.ncd}", flush=True)
+          f"pad={lay.pad_factor:.2f} ncd={lay.ncd}", flush=True)
 
     rng = np.random.default_rng(0)
     nc, nl = mesh.n_cells, lay.nl

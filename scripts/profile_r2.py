@@ -46,7 +46,7 @@ def main():
     ctx = s.ctx
     n = s.dofs.n_total
     print(f"n_dofs={n} n_cells={mesh.n_cells} nb={lay.nb} Bmax={lay.Bmax} "
-          f"OWv={lay.OWv} OWp={lay.OWp} hv={lay.hv} hp={lay.hp} dup={lay.dup_factor:.2f}", flush=True)
+          f"OWv={lay.OWv} OWp={lay.OWp} hv={lay.hv} hp={lay.hp} pad={lay.pad_factor:.2f}", flush=True)
 
     kw = dict(dt=cfg.dt, nu=cfg.nu, rho=cfg.rho, p_out=cfg.p_out,
               convection_form=cfg.convection_form,

@@ -45,6 +45,26 @@ def test_krylov_failure_raises():
         s.solve()
 
 
+def test_krylov_failure_surfaced_on_forced_solve():
+    """A newton.min_iters-FORCED tangent solve that stalls must surface the
+    failure too: the res<=tol branch used to swallow kconv entirely."""
+    cfg = _stall_cfg(on_failure="warn")
+    cfg.newton.tol = 1e6  # residual is instantly 'converged'...
+    cfg.newton.min_iters = 1  # ...but min_iters forces one solve anyway
+    log = RunLog(verbose=False)
+    s = NavierStokesSolver(unit_square(3), cfg, log=log)
+    s.solve()
+    fails = [r for r in log.records if r.get("event") == "krylov_failure"]
+    assert fails, "forced stalled tangent solve must produce a krylov_failure record"
+
+    cfg2 = _stall_cfg(on_failure="raise")
+    cfg2.newton.tol = 1e6
+    cfg2.newton.min_iters = 1
+    s2 = NavierStokesSolver(unit_square(3), cfg2, log=RunLog(verbose=False))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        s2.solve()
+
+
 def test_setup_does_not_mutate_config():
     """ADVICE r1: setup() used to write the resolved matvec back into cfg."""
     cfg = SolverConfig(inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3))
