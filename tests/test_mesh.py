@@ -166,6 +166,43 @@ def test_extract_cells_untagged_warning():
     assert ex.n_cells == int(keep.sum())
 
 
+def test_facet_ids_overflow_fallback():
+    """_facet_ids must match facets identically whether it packs keys in
+    base (n_nodes+1) or falls back to lexicographic row ranking (the packed
+    key overflows int64 for 3D meshes above ~2M nodes)."""
+    from navier_stokes_tpu.mesh.mesh import _facet_ids
+
+    rng = np.random.default_rng(7)
+    big_n = 3_000_000  # (big_n+1)**3 > 2**62 -> triggers the fallback for k=3
+    cf = rng.integers(0, big_n, size=(500, 3))
+    bf = np.concatenate([cf[::7][:, ::-1], rng.integers(0, big_n, size=(30, 3))])
+
+    assert (big_n + 1) ** 3 >= 2**62  # the packed path WOULD overflow
+    cfi, bfi = _facet_ids(cf, bf, big_n)
+
+    # oracle: row-sorted tuple comparison
+    def rows(a):
+        return {tuple(sorted(r)) for r in a.tolist()}
+
+    for i in range(len(bf)):
+        in_cf_ids = bfi[i] in set(cfi.tolist())
+        in_cf_rows = tuple(sorted(bf[i].tolist())) in rows(cf)
+        assert in_cf_ids == in_cf_rows
+
+    # small-mesh packed path agrees with the fallback on the same data
+    small = cf % 1000
+    small_b = bf % 1000
+    cfa, bfa = _facet_ids(small, small_b, 999)  # packed
+    allf = np.sort(np.concatenate([small, small_b]), axis=1)
+    _, inv = np.unique(allf, axis=0, return_inverse=True)
+    cfb, bfb = inv[: len(small)], inv[len(small):]
+    # same equivalence classes: equal keys <-> equal ranks
+    both = np.stack([np.concatenate([cfa, bfa]), np.concatenate([cfb, bfb])])
+    assert len(np.unique(both[0])) == len(np.unique(both[1])) == len(
+        np.unique(both, axis=1).T
+    )
+
+
 def test_refine_snap_boundary_circle(ref_mesh_dir):
     """snap_boundary (deal.II-manifold equivalent): refined cylinder
     vertices land ON the circle, not on the old chords."""
