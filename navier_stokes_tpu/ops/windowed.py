@@ -692,7 +692,14 @@ def _block_reference(lay, A_sub, x, in_spaces, out_spaces, axis_name):
 
 def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
     """Space-selective matvec kernel (same algorithm as _pallas_run's matvec
-    mode, restricted to the chosen input/output spaces)."""
+    mode, restricted to the chosen input/output spaces).
+
+    Deliberately NOT unified with _pallas_run: with in/out="vp" this kernel
+    is bit-identical to the matvec mode (checked), but routing the flagship
+    full-system matvec through here would need a slice_block(A_t,"vp","vp")
+    producing a full copy of the multi-hundred-MB A buffer per call.  The
+    preconditioners that use this kernel slice ONCE per Newton iteration and
+    amortize the copy over the whole Krylov solve."""
     from jax.experimental import pallas as pl
     from jax.experimental.pallas import tpu as pltpu
 
