@@ -58,6 +58,33 @@ def test_scanned_functional_and_progress():
     assert [c[0] for c in calls] == [3, 5]
 
 
+def test_scanned_progress_modern_callback_not_reinvoked():
+    """A modern progress(step,t,f,res=,iters=) callback that raises TypeError
+    INTERNALLY must propagate, not be silently re-invoked as a legacy 3-arg
+    callback (which would duplicate its side effects)."""
+    import pytest
+
+    s = _mk()
+    calls = []
+
+    def progress(step, t, f, res=None, iters=None):
+        calls.append(step)
+        raise TypeError("internal bug in the callback")
+
+    with pytest.raises(TypeError, match="internal bug"):
+        s.solve_scanned(newton_iters=2, chunk=3, progress=progress)
+    assert calls == [3], "callback must run exactly once for the first chunk"
+
+    # legacy 3-positional-arg callbacks still work
+    s2 = _mk()
+    legacy_calls = []
+    s2.solve_scanned(
+        newton_iters=2, chunk=3,
+        progress=lambda step, t, f: legacy_calls.append(step),
+    )
+    assert legacy_calls == [3, 5]
+
+
 def test_scanned_checkpoint_resume_bit_identical(tmp_path):
     """Production resilience: a BDF2 scanned run killed mid-way and resumed
     from a chunk-boundary checkpoint must reproduce the uninterrupted
