@@ -269,6 +269,16 @@ class NavierStokesSolver:
         """Assemble the configured preconditioner from device operators."""
         cfg = self.cfg
         kind = cfg.krylov.preconditioner
+        if kind == "cahouet_chabard":
+            # the CC Schur sweep is built ON the windowed sub-block kernels;
+            # on the flat path (explicit, or the windowed-infeasible auto
+            # fallback) degrade to the nearest flat Schur preconditioner
+            # instead of failing the run
+            self.log.print(
+                "  (cahouet_chabard requires the windowed operator: "
+                "using block_triangular on the flat path)"
+            )
+            kind = "block_triangular"
         if kind == "identity":
             return identity()
         dim, nb_v, nb_p = ctx.dim, ctx.nb_v, ctx.nb_p

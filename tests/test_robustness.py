@@ -65,6 +65,24 @@ def test_krylov_failure_surfaced_on_forced_solve():
         s2.solve()
 
 
+def test_cahouet_chabard_degrades_on_flat_path():
+    """cahouet_chabard is built on the windowed sub-block kernels; on the
+    flat path (explicit, or the windowed-infeasible auto fallback) it must
+    degrade to block_triangular instead of raising at solve time."""
+    cfg = SolverConfig(
+        inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+        p_out=0.0, dt=0.05, T=0.05,
+    )
+    cfg.krylov.matvec = "flat"
+    cfg.krylov.preconditioner = "cahouet_chabard"
+    cfg.krylov.max_iters = 400
+    cfg.newton.max_iters = 6
+    s = NavierStokesSolver(unit_square(4), cfg, log=RunLog(verbose=False))
+    s.setup()
+    s.solve()
+    assert np.isfinite(np.asarray(s.solution)).all()
+
+
 def test_setup_does_not_mutate_config():
     """ADVICE r1: setup() used to write the resolved matvec back into cfg."""
     cfg = SolverConfig(inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3))
