@@ -416,6 +416,37 @@ class NavierStokesSolver:
                         ).reshape(-1)[:nps_l]
                         return _jac(r) + jnp.where(hole, 0.0, corr).astype(r.dtype)
 
+                elif (
+                    axis_name is not None
+                    and wa.coarse_agg_size
+                    and wa.diag_kp.shape[0] % wa.coarse_agg_size == 0
+                ):
+                    # SPMD: OWp is a multiple of 128 >= the aggregate run, so
+                    # each device's contiguous pressure range is WHOLE
+                    # aggregates [d*m_loc, (d+1)*m_loc) — local Z/Zt are the
+                    # same reshape, placed into the global [m_c] coarse
+                    # residual at the device offset before the psum (the
+                    # local-segment_sum alternative is a TPU scatter)
+                    sa = wa.coarse_agg_size
+                    m_loc = wa.diag_kp.shape[0] // sa
+                    hole = wa.agg_p >= m_c
+
+                    def pKp(r, _jac=jac_kp):
+                        rm = jnp.where(hole, 0.0, r).astype(wa.coarse_inv.dtype)
+                        seg_loc = rm.reshape(m_loc, sa).sum(axis=1)
+                        d = jax.lax.axis_index(axis_name)
+                        s = jax.lax.dynamic_update_slice(
+                            jnp.zeros((m_c,), seg_loc.dtype), seg_loc,
+                            (d * m_loc,),
+                        )
+                        s = jax.lax.psum(s, axis_name)
+                        y = jnp.dot(wa.coarse_inv, s, precision=_PREC_HI)
+                        y_loc = jax.lax.dynamic_slice(y, (d * m_loc,), (m_loc,))
+                        corr = jnp.broadcast_to(
+                            y_loc[:, None], (m_loc, sa)
+                        ).reshape(-1)
+                        return _jac(r) + jnp.where(hole, 0.0, corr).astype(r.dtype)
+
                 else:
 
                     def pKp(r, _jac=jac_kp):

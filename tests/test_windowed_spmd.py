@@ -121,6 +121,45 @@ def test_full_solve_windowed_spmd_matches_single():
     assert err < 1e-8
 
 
+def test_full_solve_spmd_cahouet_chabard_coarse_matches_single():
+    """2-device Cahouet-Chabard WITH the two-level coarse correction must
+    match single-device: validates the SPMD reshape-based coarse Z/Zt
+    (device ranges are whole aggregates; per-aggregate partial sums are
+    device-local, so the psum-composed restriction is bit-identical to the
+    single-device reshape)."""
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    def run(n_devices):
+        cfg = SolverConfig(
+            inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+            nu=0.04, p_out=10.0, dt=0.05, T=0.1,
+        )
+        cfg.krylov.max_iters = 500
+        cfg.krylov.matvec = "windowed"
+        cfg.krylov.cells_per_block = 16
+        cfg.krylov.preconditioner = "cahouet_chabard"
+        cfg.krylov.cc_coarse_agg = 128
+        s = NavierStokesSolver(
+            unit_square(4), cfg, log=RunLog(verbose=False), n_devices=n_devices
+        )
+        s.solve()
+        assert s._matvec == "windowed"
+        return s
+
+    s1 = run(None)
+    s2 = run(2)
+    assert s2._dist is not None
+    assert s2._wassembly.coarse_inv is not None, "coarse correction must be on"
+    f1 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s1.velocity_coords(real_only=True), s1.velocity(real_only=True))}
+    f2 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s2.velocity_coords(real_only=True), s2.velocity(real_only=True))}
+    err = max(np.max(np.abs(f1[k] - f2[k])) for k in f1)
+    assert err < 1e-8
+
+
 def test_cell_owner_and_partitioning_output(tmp_path):
     """SPMD runs must write REAL cell ownership (cpp:702-705), not zeros."""
     import h5py
