@@ -42,7 +42,6 @@ def cg(
 
     axis_name: inside shard_map with sharded vectors, every dot/norm is
     psum-reduced over the mesh axis (the Epetra all-reduce of SURVEY L1)."""
-    x0 = jnp.zeros_like(b) if x0 is None else x0
     atol = jnp.asarray(atol, dtype=b.dtype)
     M = precond or (lambda v: v)
 
@@ -53,7 +52,14 @@ def cg(
     def norm(v):
         return jnp.sqrt(vdot(v, v))
 
-    r0 = b - matvec(x0)
+    if x0 is None:
+        # linear operator: r(0) = b exactly; skip the A@0 matvec (the CC
+        # preconditioner's fixed micro-sweeps call this with x0=None every
+        # outer FGMRES iteration — one matvec of 3-5 saved per sweep)
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        r0 = b - matvec(x0)
     z0 = M(r0)
     rz0 = vdot(r0, z0)
 

@@ -69,18 +69,26 @@ def fgmres(
     axis_name: inside shard_map with sharded vectors, the CGS2 projection
     dots and all norms psum over the mesh axis (Krylov coefficients stay
     replicated, basis vectors stay sharded).
+
+    Cost model (matvec/precond dominate on TPU): the Arnoldi loop EXITS at
+    the converged iteration (lax.while_loop, not a fixed restart-window
+    sweep), the true residual computed at each cycle end is CARRIED into the
+    next cycle (one matvec per cycle, not two), and ``x0=None`` starts from
+    ``r0 = b`` without spending a matvec on A@0 (the operator is linear).
+    A solve converging at k iterations therefore costs exactly
+    k + ceil(k/restart) matvecs and k preconditioner applications.
     """
     n = b.shape[0]
     dtype = b.dtype
     m = restart
     M = precond or _identity
-    x0 = jnp.zeros_like(b) if x0 is None else x0
     atol = jnp.asarray(atol, dtype=dtype)
     eps_break = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-18, dtype=dtype)
 
     def cycle(state):
-        x, total_iters, prev_res, _ = state
-        r = b - matvec(x)
+        x, total_iters, prev_res, _, r = state
+        # r is the TRUE residual of x, carried from the previous cycle's
+        # end-of-cycle evaluation (or the initial residual)
         beta = _norm(r, axis_name)
         done0 = beta <= atol
 
@@ -92,9 +100,8 @@ def fgmres(
         sn = jnp.zeros(m, dtype=dtype)
         R = jnp.eye(m, dtype=dtype)  # unused columns stay identity
 
-        def body(j, carry):
-            V, Z, R, g, cs, sn, res, done, k = carry
-            active = jnp.logical_not(done)
+        def body(carry):
+            V, Z, R, g, cs, sn, res, done, k, j = carry
 
             z = M(V[j])
             w = matvec(z)
@@ -133,10 +140,9 @@ def fgmres(
             # breakdown guard: if this iteration produced non-finite values
             # (preconditioner blowup, overflow), discard it and stop the cycle
             # — the least-squares solve then uses only the finite prefix.
-            finite = jnp.logical_and(
+            apply_it = jnp.logical_and(
                 jnp.isfinite(hw), jnp.all(jnp.isfinite(h_col))
             )
-            apply_it = jnp.logical_and(active, finite)
 
             # masked state update (row-level wheres keep this O(n) per iter)
             V = V.at[j + 1].set(jnp.where(apply_it, w * inv_hw, V[j + 1]))
@@ -147,13 +153,20 @@ def fgmres(
             sn = jnp.where(apply_it, sn.at[j].set(s_new), sn)
             res = jnp.where(apply_it, res_new, res)
             k = k + apply_it.astype(jnp.int32)
-            done = jnp.logical_or(
-                done, jnp.logical_or(res <= atol, jnp.logical_and(active, ~finite))
-            )
-            return V, Z, R, g, cs, sn, res, done, k
+            done = jnp.logical_or(res <= atol, ~apply_it)
+            return V, Z, R, g, cs, sn, res, done, k, j + 1
 
-        carry = (V, Z, R, g, cs, sn, beta, done0, jnp.int32(0))
-        V, Z, R, g, cs, sn, res, done, k = lax.fori_loop(0, m, body, carry)
+        def body_cond(carry):
+            done, j = carry[-3], carry[-1]
+            return jnp.logical_and(j < m, jnp.logical_not(done))
+
+        # EARLY-EXIT Arnoldi: a cycle converging at iteration k costs k
+        # matvec+precond applications, not a fixed restart-window sweep of
+        # masked no-ops (each of which would still run the full operator)
+        carry = (V, Z, R, g, cs, sn, beta, done0, jnp.int32(0), jnp.int32(0))
+        V, Z, R, g, cs, sn, res, done, k, _ = lax.while_loop(
+            body_cond, body, carry
+        )
 
         # solve R y = g on the active prefix (inactive columns are identity
         # with masked g = 0 so y vanishes there)
@@ -164,22 +177,31 @@ def fgmres(
         # estimate drifts below the true residual (orthogonality loss) and
         # would report false convergence; restarting on the true residual
         # turns the outer loop into iterative refinement.  Costs one matvec
-        # per cycle (amortized over <= restart iterations).
-        res_true = _norm(b - matvec(x_new), axis_name)
+        # per cycle (amortized over <= restart iterations) — and the residual
+        # VECTOR is carried into the next cycle, which starts from it instead
+        # of recomputing b - A x.
+        r_new = b - matvec(x_new)
+        res_true = _norm(r_new, axis_name)
         # keep the better iterate; stop on breakdown or no true headway
         better = res_true < prev_res
         x_out = jnp.where(better, x_new, x)
+        r_out = jnp.where(better, r_new, r)
         res_out = jnp.minimum(res_true, prev_res)
         stalled = jnp.logical_or(k == 0, ~better)
-        return x_out, total_iters + k, res_out, stalled
+        return x_out, total_iters + k, res_out, stalled, r_out
 
     def cond(state):
-        _, iters, res, stalled = state
+        _, iters, res, stalled, _ = state
         ok = jnp.logical_and(res > atol, jnp.isfinite(res))
         return jnp.logical_and(jnp.logical_and(ok, iters < maxiter), ~stalled)
 
-    r0 = b - matvec(x0)
+    if x0 is None:
+        # linear operator: r(0) = b exactly; skip the A@0 matvec
+        x0 = jnp.zeros_like(b)
+        r0 = b
+    else:
+        r0 = b - matvec(x0)
     beta0 = _norm(r0, axis_name)
-    state = (x0, jnp.int32(0), beta0, beta0 <= atol)
-    x, iters, res, _ = lax.while_loop(cond, cycle, state)
+    state = (x0, jnp.int32(0), beta0, beta0 <= atol, r0)
+    x, iters, res, _, _ = lax.while_loop(cond, cycle, state)
     return GmresResult(x=x, iters=iters, residual=res, converged=res <= atol)
