@@ -74,6 +74,14 @@ class KrylovConfig:
     # cc_iters_ap no longer needs the h^-2 scaling (16 at 388k, 24 at 1.5M
     # DoF) that plain Jacobi-CG required.  0 disables (pure Jacobi).
     cc_coarse_agg: int = 128
+    # condition cap on the coarse Galerkin matrix: eigenvalues of Kc are
+    # floored at max_eig/cap before inverting.  A weakly pinned Kp (short
+    # outlet edge, long domain) leaves Kc a near-null mode whose uncapped
+    # inverse amplifies ~1e5x against the O(1) Jacobi term — a mismatch with
+    # the outer tangent's (mass-bounded) Schur complement that stalls the f32
+    # FGMRES (measured: 1.78M-DoF big leg, 300-iteration stall vs 17 without
+    # the coarse term; fem/windowed_assembly.py coarse construction).
+    cc_coarse_cond_cap: float = 1e4
     # inner solver for the windowed Schur preconditioners' A00 sweeps
     # (cahouet_chabard, block_triangular, block_diagonal): "cg" matches the
     # reference (hpp:598) and is valid for the mass-dominated tangents of

@@ -98,7 +98,8 @@ def compute_r_const(ctx, p_out, f_q=None) -> np.ndarray:
 
 def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_out,
                             jacobian_mass_rho=False, terms="navier_stokes",
-                            pin_pdofs=None, coarse_agg=0):
+                            pin_pdofs=None, coarse_agg=0,
+                            coarse_cond_cap=1e4):
     """Precompute geometry + constant terms from a FEMContext (natural order).
 
     ctx: fem.assembly.FEMContext on the SAME blocked-renumbered dofs.
@@ -230,10 +231,24 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
             # pure-Neumann Kp: shift off the constant nullspace (preconditioner
             # quality is insensitive to the exact shift)
             Kc[np.arange(m), np.arange(m)] += 1e-6 * (np.trace(Kc) / m)
-        coarse_inv = np.linalg.inv(Kc)
-        if not np.isfinite(coarse_inv).all():
-            Kc[np.arange(m), np.arange(m)] += 1e-8 * (np.trace(Kc) / m)
-            coarse_inv = np.linalg.inv(Kc)
+        # Spectral-floored inverse: cond(Kc) is capped at coarse_cond_cap
+        # before inverting.  A weakly pinned Kp (e.g. mesh_poli's short outlet
+        # edge at the end of the long DFG channel, refined 2x) leaves Kc with
+        # a near-null mode — measured eig(Kc^-1) up to 5.1e3 vs <=24 on the
+        # well-pinned cylinder mesh — and the correction then amplifies that
+        # mode ~128*5e3 against the O(1) Jacobi term.  The outer tangent's
+        # Schur complement does NOT share that near-singularity (its
+        # pressure-mass term bounds it), so the mismatched amplification
+        # poisons the f32 Krylov basis: the 1.78M-DoF tangent solve stalled at
+        # 1.6x its tolerance for 300 FGMRES iterations with the uncapped
+        # inverse vs 17 iterations with the coarse term disabled.  Flooring
+        # eigenvalues at max/cond_cap keeps the correction SPD, leaves
+        # well-conditioned coarse spaces untouched (cylinder mesh: cond
+        # 1.4e4 -> barely clipped), and restores big-leg convergence.
+        Kc = 0.5 * (Kc + Kc.T)
+        w, V = np.linalg.eigh(Kc)
+        w = np.maximum(w, w[-1] / float(coarse_cond_cap))
+        coarse_inv = (V / w) @ V.T
         agg_p = agg
 
     as_f = lambda a: jnp.asarray(a, dtype=dtype)

@@ -228,6 +228,7 @@ class NavierStokesSolver:
                 jacobian_mass_rho=cfg.jacobian_mass_rho,
                 pin_pdofs=self.dofs.boundary_scalar_pdofs(cfg.neumann_tags),
                 coarse_agg=cfg.krylov.cc_coarse_agg,
+                coarse_cond_cap=cfg.krylov.cc_coarse_cond_cap,
             )
 
         # Dirichlet: inlet first, walls override on shared DoFs (cpp:354-373)
