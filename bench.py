@@ -82,6 +82,27 @@ def main():
         jacobian_mass_rho=cfg.jacobian_mass_rho,
     )
 
+    # Micro-op legs (assembly, matvec) are timed as the MARGINAL cost of one
+    # iteration inside a jitted lax.scan whose per-iteration input depends on
+    # the previous iteration's OUTPUT:
+    #     t = (T(scan length=REPS+1) - T(scan length=1)) / REPS
+    # Why this form (each alternative was observed to corrupt the number on
+    # the axon TPU tunnel):
+    #   - independent per-rep launches pay 20-150 ms of variable dispatch
+    #     latency each (once inflated a 2.5 ms matvec to "22.7 ms") and a
+    #     bit-identical (executable, inputs) repeat can be served from a
+    #     server-side cache (once produced a bogus 1.1 ms "newton step");
+    #   - a single scan launch still carries ~20-40 ms of fixed launch +
+    #     argument-staging overhead, so dividing ONE scan's wall time by REPS
+    #     overstates the per-iteration cost at small REPS;
+    #   - the length-1/length-REPS+1 difference cancels that fixed overhead,
+    #     the output->input chaining defeats both caching and loop-invariant
+    #     hoisting, and scan's sequential semantics match how the op actually
+    #     runs inside a Krylov/Newton loop.  Probe data at 543k DoF f32:
+    #     marginal assembly 19.5 ms, marginal matvec 0.72 ms (vs 1.4-1.7 ms
+    #     per chained/independent launch).
+    import functools
+
     if solver._win_layout is not None:
         # the flagship path: blocked windowed assembly (what newton_iteration
         # actually runs; the flat [nc,15,15] assembly is the legacy path)
@@ -91,24 +112,33 @@ def main():
 
         # wa/lay as ARGUMENTS: baking their multi-hundred-MB buffers as jit
         # constants faults the device at scale (newton_iteration's rule)
-        @jax.jit
-        def _assemble_w(wa_a, lay_a, u, u_old):
-            A_t, r, diag0 = assemble_windowed(
-                wa_a, lay_a, u, u_old, dt=cfg.dt, nu=cfg.nu, rho=cfg.rho,
-                convection_form=cfg.convection_form,
-                include_continuity_residual=cfg.include_continuity_residual,
-            )
-            # reduce outputs so timing isn't dominated by D2H transfers
-            return jnp.linalg.norm(r), A_t.ravel()[::4096].sum(), diag0[0]
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def assemble_loop(wa_a, lay_a, u0, u_old, length):
+            def body(uc, _):
+                A_t, r, diag0 = assemble_windowed(
+                    wa_a, lay_a, uc, u_old, dt=cfg.dt, nu=cfg.nu, rho=cfg.rho,
+                    convection_form=cfg.convection_form,
+                    include_continuity_residual=cfg.include_continuity_residual,
+                )
+                s = jnp.linalg.norm(r) + A_t[:, :, ::4096].sum() + diag0[0]
+                return uc * (1.0 + 1e-9 * jnp.tanh(s)), s
 
-        def assemble_only(u, u_old):
-            return _assemble_w(wa, lay, u, u_old)
+            uf, ss = jax.lax.scan(body, u0, None, length=length)
+            return uf[0], ss.sum()
+
+        def assemble_reps(u, u_old, length):
+            return assemble_loop(wa, lay, u, u_old, length)
     else:
 
-        @jax.jit
-        def assemble_only(u, u_old):
-            cm, pm, r = assemble_navier_stokes(ctx, u, u_old, **kw)
-            return jnp.linalg.norm(r), cm.ravel()[::1000].sum(), pm.ravel()[0]
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def assemble_reps(u0, u_old, length):
+            def body(uc, _):
+                cm, pm, r = assemble_navier_stokes(ctx, uc, u_old, **kw)
+                s = jnp.linalg.norm(r) + cm.ravel()[::1000].sum() + pm.ravel()[0]
+                return uc * (1.0 + 1e-9 * jnp.tanh(s)), s
+
+            uf, ss = jax.lax.scan(body, u0, None, length=length)
+            return uf[0], ss.sum()
 
     u = solver.solution
     u_old = solver.solution_old
@@ -119,16 +149,19 @@ def main():
         timing must close with a device->host scalar transfer."""
         return [float(np.asarray(o.ravel()[0])) for o in jax.tree.leaves(out)]
 
-    # warm up (compile).  Each rep gets a DISTINCT input value (cheap device
-    # rescale): the axon remote runtime can serve a bit-identical
-    # (executable, inputs) launch from a server-side cache, which would make
-    # this, the headline metric, bogus (same defeat as the Newton loop below)
-    sync(assemble_only(u, u_old))
-    t0 = time.perf_counter()
-    for i in range(REPS):
-        out = assemble_only(u + (1e-7 * (i + 1)), u_old)
-    sync(out)
-    t_assembly = (time.perf_counter() - t0) / REPS
+    def marginal_time(fn, reps, *inputs):
+        """(T(length=reps+1) - T(length=1)) / reps, both lengths pre-compiled."""
+        sync(fn(*inputs, 1))  # compile
+        sync(fn(*inputs, reps + 1))  # compile
+        t0 = time.perf_counter()
+        sync(fn(*inputs, 1))
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        sync(fn(*inputs, reps + 1))
+        t_long = time.perf_counter() - t0
+        return max(t_long - t_short, 1e-9) / reps
+
+    t_assembly = marginal_time(assemble_reps, REPS, u + 1e-7, u_old)
     print(f"# assembly {t_assembly*1e3:.1f} ms", file=sys.stderr, flush=True)
     mdofs = n / t_assembly / 1e6
 
@@ -180,19 +213,24 @@ def main():
             )
             return A_t
 
-        @jax.jit
-        def _mv(lay_a, A_t, v):
-            y = windowed_matvec(lay_a, A_t, v, passes=cfg.krylov.matvec_passes)
-            return y, jnp.vdot(y, y)
+        MV_REPS = 4 * REPS  # cheap op: more reps for a cleaner marginal
+
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def _mv_loop(lay_a, A_t, x0, length):
+            # chained-input scan: every matvec input is the (constant-rescaled)
+            # previous OUTPUT.  The 1e-3 rescale keeps the chain finite over
+            # 4*REPS iterations (the tangent's ||A|| ~ 1e2-1e3)
+            def body(x, _):
+                y = windowed_matvec(lay_a, A_t, x, passes=cfg.krylov.matvec_passes)
+                return y * 1e-3, y[0]
+
+            xf, nn = jax.lax.scan(body, x0, None, length=length)
+            return xf[0], nn.sum()
 
         u_state = jnp.asarray(0.05 * rng.standard_normal(n), dtype=u.dtype)
         A_t = _amat(wa, lay, u_state, u_old)
-        sync(_mv(lay, A_t, u_state)[1])
-        t0 = time.perf_counter()
-        for i in range(REPS):  # distinct input per rep (axon repeat-cache)
-            _, chk = _mv(lay, A_t, u_state * (1.0 + 1e-6 * (i + 1)))
-        float(np.asarray(chk))
-        t_mv = (time.perf_counter() - t0) / REPS
+        t_mv = marginal_time(_mv_loop, MV_REPS, lay, A_t,
+                             u_state * (1.0 + 1e-6))
         print(f"# matvec {t_mv*1e3:.2f} ms", file=sys.stderr, flush=True)
     else:
         t_mv = None

@@ -154,17 +154,36 @@ def main():
         "coarse_only": st_coarse,
     }
 
+    import functools
+
     x0 = jnp.asarray(rng.standard_normal(n), dtype=s._dtype)
     for name, fn in stages.items():
-        jf = jax.jit(lambda lay_a, A, wa_a, v, f=fn:
-                     jnp.sum(f(lay_a, A, wa_a, v) ** 2))
-        float(np.asarray(jf(lay, A_t, wa, x0)))  # compile
-        # distinct input per rep (axon repeat-launch cache) via cheap rescale
+        # marginal cost of one chained-scan iteration (same methodology as
+        # bench.py):  t = (T(length=REPS+1) - T(length=1)) / REPS.  The
+        # output->input chain defeats the axon repeat-launch cache and
+        # loop-invariant hoisting; the length-1/length-REPS+1 difference
+        # cancels the 20-40 ms fixed launch + staging overhead that a
+        # single-scan-divided-by-REPS reading folds into every iteration.
+        @functools.partial(jax.jit, static_argnames=("length",))
+        def loop(lay_a, A, wa_a, v0, length, f=fn):
+            def body(v, _):
+                sc = jnp.sum(f(lay_a, A, wa_a, v) ** 2)
+                return v * (1.0 + 1e-9 * jnp.tanh(sc)), sc
+
+            vf, ss = jax.lax.scan(body, v0, None, length=length)
+            return vf[0], ss.sum()
+
+        def run(length, x):
+            return float(np.asarray(loop(lay, A_t, wa, x, length)[1]))
+
+        run(1, x0)  # compile
+        run(REPS + 1, x0)  # compile
         t0 = time.perf_counter()
-        for i in range(REPS):
-            out = jf(lay, A_t, wa, x0 * (1.0 + 1e-6 * i))
-        float(np.asarray(out))
-        dt_ms = (time.perf_counter() - t0) / REPS * 1e3
+        run(1, x0 * 1.000001)
+        t_short = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        run(REPS + 1, x0 * 1.000002)
+        dt_ms = max(time.perf_counter() - t0 - t_short, 1e-9) / REPS * 1e3
         print(f"  {name:20s} {dt_ms:8.3f} ms", flush=True)
 
 
