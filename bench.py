@@ -54,7 +54,10 @@ def main():
     cfg = SolverConfig()  # reference as-shipped physics/tolerances
     cfg.dtype = DTYPE
     cfg.krylov.max_iters = 2000
-    cfg.krylov.restart = 60
+    # restart bounds BOTH the Krylov memory and the per-iteration CGS2 cost:
+    # orthogonalization runs four full [restart+1, n] contractions per
+    # iteration, so an oversized window taxes every iteration's HBM traffic
+    cfg.krylov.restart = int(os.environ.get("BENCH_RESTART", "60"))
     cfg.krylov.matvec = os.environ.get("BENCH_MATVEC", "windowed")
     cfg.krylov.preconditioner = PRECOND  # flagship: windowed Cahouet-Chabard
     # inner-sweep knobs track the mesh (Kp condition ~ h^-2; see the DFG

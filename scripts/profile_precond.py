@@ -115,17 +115,26 @@ def main():
                                      out_spaces="p", passes=passes)
 
     def _mk_pkp(wa_a):
+        # mirrors the PRODUCTION single-device coarse apply (reshape Z/Zt,
+        # models/navier_stokes.py _make_windowed_preconditioner) — the
+        # segment-sum formulation lowers to a ~3 ms TPU scatter and would
+        # misattribute the kp stage cost
         pj_a = jacobi(wa_a.diag_kp)
         if wa_a.coarse_inv is None:
             return pj_a, pj_a
         m_c = wa_a.coarse_inv.shape[0]
+        sa = wa_a.coarse_agg_size
+        nps_l = wa_a.diag_kp.shape[0]
+        npad = m_c * sa - nps_l
+        hole = wa_a.agg_p >= m_c
 
         def coarse_a(rp):
-            seg = jax.ops.segment_sum(rp.astype(wa_a.coarse_inv.dtype),
-                                      wa_a.agg_p, num_segments=m_c + 1)[:m_c]
+            rm = jnp.where(hole, 0.0, rp).astype(wa_a.coarse_inv.dtype)
+            seg = jnp.pad(rm, (0, npad)).reshape(m_c, sa).sum(axis=1)
             y = jnp.dot(wa_a.coarse_inv, seg,
                         precision=jax.lax.Precision.HIGHEST)
-            return jnp.concatenate([y, jnp.zeros((1,), y.dtype)])[wa_a.agg_p]
+            corr = jnp.broadcast_to(y[:, None], (m_c, sa)).reshape(-1)[:nps_l]
+            return jnp.where(hole, 0.0, corr).astype(rp.dtype)
 
         return coarse_a, lambda rp: pj_a(rp) + coarse_a(rp)
 
