@@ -58,12 +58,16 @@ class KrylovConfig:
     precond_passes: int = 1
     inner_tol: float = 1e-2  # hpp:542,599
     inner_max_iters: int = 2000  # hpp:598
-    # cahouet_chabard inner sweep lengths (fixed-iteration Jacobi-CG on the
-    # velocity block and on the pressure-Laplacian Schur term); (2, 4) is the
-    # TPU sweet spot at 543k DoF: 396 ms/Newton step vs identity's 503 ms
-    # (outer iterations 60 vs 204)
+    # cahouet_chabard inner sweep lengths (fixed-iteration coarse-corrected
+    # Jacobi-CG on the velocity block and on the pressure-Laplacian Schur
+    # term).  On-TPU sweep (tangent at a random 0.05-normal state, outer
+    # FGMRES to rel_tol 1e-2): ap=8 vs ap=4 cuts outer iterations 24->16 at
+    # 543k DoF and 48->45 at 1.78M DoF and wins on wall time at both sizes
+    # (each extra Kp-CG iteration costs ~0.4 ms; one saved outer iteration
+    # ~6 ms).  a00=3 adds nothing over a00=2 at ap>=6; coarser aggregates
+    # (64) DEGRADE (211 outer iterations at 1.78M).
     cc_iters_a00: int = 2
-    cc_iters_ap: int = 4
+    cc_iters_ap: int = 8
     # two-level coarse correction for the cahouet_chabard pressure-Laplacian
     # sweep: aggregate this many consecutive pressure dofs (SFC/blocked
     # numbering => spatially compact aggregates) into one piecewise-constant
