@@ -152,19 +152,28 @@ def main():
         timing must close with a device->host scalar transfer."""
         return [float(np.asarray(o.ravel()[0])) for o in jax.tree.leaves(out)]
 
-    def marginal_time(fn, reps, *inputs):
-        """(T(length=reps+1) - T(length=1)) / reps, both lengths pre-compiled."""
-        sync(fn(*inputs, 1))  # compile
-        sync(fn(*inputs, reps + 1))  # compile
+    def marginal_time(fn, reps, mk_inputs):
+        """(T(length=reps+1) - T(length=1)) / reps, both lengths pre-compiled.
+
+        mk_inputs(eps) builds the argument tuple with the seed input rescaled
+        by (1 + eps): every launch below uses a DISTINCT eps, so no timed
+        launch is a bit-identical (executable, inputs) repeat of the warm-up
+        — the axon remote runtime can serve such repeats from a server-side
+        cache (once produced a bogus 1.1 ms "newton step"); the in-scan
+        output chaining alone defeats hoisting, not whole-launch repeats."""
+        sync(fn(*mk_inputs(0.0), 1))  # compile
+        sync(fn(*mk_inputs(1e-6), reps + 1))  # compile
         t0 = time.perf_counter()
-        sync(fn(*inputs, 1))
+        sync(fn(*mk_inputs(2e-6), 1))
         t_short = time.perf_counter() - t0
         t0 = time.perf_counter()
-        sync(fn(*inputs, reps + 1))
+        sync(fn(*mk_inputs(3e-6), reps + 1))
         t_long = time.perf_counter() - t0
         return max(t_long - t_short, 1e-9) / reps
 
-    t_assembly = marginal_time(assemble_reps, REPS, u + 1e-7, u_old)
+    t_assembly = marginal_time(
+        assemble_reps, REPS, lambda e: ((u + 1e-7) * (1.0 + e), u_old)
+    )
     print(f"# assembly {t_assembly*1e3:.1f} ms", file=sys.stderr, flush=True)
     mdofs = n / t_assembly / 1e6
 
@@ -232,8 +241,9 @@ def main():
 
         u_state = jnp.asarray(0.05 * rng.standard_normal(n), dtype=u.dtype)
         A_t = _amat(wa, lay, u_state, u_old)
-        t_mv = marginal_time(_mv_loop, MV_REPS, lay, A_t,
-                             u_state * (1.0 + 1e-6))
+        t_mv = marginal_time(
+            _mv_loop, MV_REPS, lambda e: (lay, A_t, u_state * (1.0 + 1e-6 + e))
+        )
         print(f"# matvec {t_mv*1e3:.2f} ms", file=sys.stderr, flush=True)
     else:
         t_mv = None

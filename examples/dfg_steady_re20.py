@@ -15,12 +15,14 @@ force evaluators reproduce its values to all printed digits, so THESE are
 the targets at refine=0; the published bands are approached under
 refinement with the circle-snapped curved boundary.
 
-Steady state is reached by TIME MARCHING at small dt (the framework's
-flagship device-resident scanned loop): at small dt the tangent's A00 block
-is mass-dominated, where the Cahouet-Chabard preconditioner is valid and
-fast.  Driving Newton directly at large dt puts convection in charge of
-A00 and the Schur preconditioners' fixed CG sweeps poison the outer Krylov
-space (measured: total FGMRES stagnation) — see KrylovConfig.a00_solver.
+The steady state is computed by the FIRST-CLASS steady driver
+(``NavierStokesSolver.solve_steady``): Newton on the steady residual (no
+mass term) from the Stokes initial guess with backtracking line search —
+the reference's legacy variant (hpp:1-368, run_newton_loop cpp:811-833).
+At Re=20 it converges in a handful of Newton steps.  Set DFG_MARCH=1 to
+instead reach the steady state by time marching at small dt (the scanned
+device-resident loop) — the two agree; the march is the fallback for
+Reynolds numbers where Newton's basin is too small.
 
 Usage: python examples/dfg_steady_re20.py [refine=0] [T=25] [dt=0.02]
 """
@@ -44,6 +46,7 @@ def main():
     refine = int(sys.argv[1]) if len(sys.argv) > 1 else 0
     T = float(sys.argv[2]) if len(sys.argv) > 2 else 25.0
     dt = float(sys.argv[3]) if len(sys.argv) > 3 else 0.02
+    march = os.environ.get("DFG_MARCH", "0") == "1"
     u_mean = 0.2
     u_m = 1.5 * u_mean  # 0.3
     nu = u_mean * D / 20.0  # 0.001
@@ -66,7 +69,7 @@ def main():
     cfg.krylov.rel_tol = 1e-4
     cfg.krylov.max_iters = 200
     cfg.krylov.matvec = "windowed"
-    cfg.krylov.preconditioner = "cahouet_chabard"  # valid: mass-dominated dt
+    cfg.krylov.preconditioner = "cahouet_chabard"
 
     log = ns.RunLog(verbose=False)
     solver = ns.NavierStokesSolver(mesh, cfg, log=log, inlet=inflow)
@@ -75,28 +78,39 @@ def main():
     scale = 2.0 / (cfg.rho * u_mean**2 * D)
     t0 = time.time()
 
-    def progress(step, t, f_chunk, res=None, iters=None):
-        f = np.asarray(f_chunk)[-1]
-        diag = ""
-        if res is not None:
-            diag = f"  |r|={float(np.asarray(res)[-1]):.2e}  gmres/step={float(np.mean(iters)):.0f}"
-        print(
-            f"step {step:5d}  t={t:7.3f}  Cd={f[0]*scale:+.5f}  Cl={f[1]*scale:+.5f}"
-            f"{diag}  wall={time.time()-t0:6.1f}s",
-            flush=True,
+    if march:
+        def progress(step, t, f_chunk, res=None, iters=None):
+            f = np.asarray(f_chunk)[-1]
+            diag = ""
+            if res is not None:
+                diag = f"  |r|={float(np.asarray(res)[-1]):.2e}  gmres/step={float(np.mean(iters)):.0f}"
+            print(
+                f"step {step:5d}  t={t:7.3f}  Cd={f[0]*scale:+.5f}  Cl={f[1]*scale:+.5f}"
+                f"{diag}  wall={time.time()-t0:6.1f}s",
+                flush=True,
+            )
+
+        chunk = int(os.environ.get("DFG_CHUNK", "50" if refine == 0 else "20"))
+        out = solver.solve_scanned(
+            functional=traction._force, chunk=chunk,
+            newton_iters=int(os.environ.get("DFG_SWEEPS", "2")), progress=progress,
         )
-
-    chunk = int(os.environ.get("DFG_CHUNK", "50" if refine == 0 else "20"))
-    out = solver.solve_scanned(
-        functional=traction._force, chunk=chunk,
-        newton_iters=int(os.environ.get("DFG_SWEEPS", "2")), progress=progress,
-    )
+        # steadiness check: Cd drift over the trailing 20% of the march
+        fser = np.asarray(out["functional"]) * scale
+        tail = fser[int(0.8 * len(fser)):]
+        drift = float(tail[:, 0].max() - tail[:, 0].min())
+        how = f"time march, Cd tail drift {drift:.2e}"
+    else:
+        iters, upd = solver.solve_steady(tol=1e-11, max_iters=10)
+        for rec in [r for r in log.records if r.get("event") == "steady_newton"]:
+            print(
+                f"newton {rec['iter']:2d}  ||r|| = {rec['res_norm']:.3e}  "
+                f"update = {rec['update']:.3e}  gmres = {rec['gmres_iters']}"
+                f"  alpha = {rec['alpha']:.3f}",
+                flush=True,
+            )
+        how = f"steady Newton, {iters} steps, update {upd:.2e}"
     wall = time.time() - t0
-
-    # steadiness check: Cd drift over the trailing 20% of the march
-    fser = np.asarray(out["functional"]) * scale
-    tail = fser[int(0.8 * len(fser)):]
-    drift = float(tail[:, 0].max() - tail[:, 0].min())
 
     sol = solver.solution
     cd_t, cl_t = traction.coefficients(sol, u_mean=u_mean, length=D)
@@ -111,7 +125,7 @@ def main():
     dp = float(p[ia] - p[ib])
 
     print(f"\nDFG 2D-1 (Re=20, refine={refine}, {solver.dofs.n_total} DoF, "
-          f"{wall:.1f}s, Cd tail drift {drift:.2e}):")
+          f"{wall:.1f}s, {how}):")
     print(f"  Cd (reaction) = {cd_r:.5f}   Cl = {cl_r:+.5f}")
     print(f"  Cd (traction) = {cd_t:.5f}   Cl = {cl_t:+.5f}")
     print(f"  dP = {dp:+.5f}")

@@ -78,6 +78,17 @@ class KrylovConfig:
     # cc_iters_ap no longer needs the h^-2 scaling (16 at 388k, 24 at 1.5M
     # DoF) that plain Jacobi-CG required.  0 disables (pure Jacobi).
     cc_coarse_agg: int = 128
+    # two-level coarse correction for the A00 (velocity) inner sweeps: one
+    # SCALAR coarse space shared by the velocity components, built from the
+    # constant tangent block (mass/dt + viscous) with Dirichlet dofs
+    # decoupled (fem/windowed_assembly).  This is the h-robustness knob for
+    # the OUTER FGMRES count: with plain Jacobi sweeps the count grew
+    # 17 -> 48 from 543k -> 1.78M DoF (the sweep contraction degrades as
+    # nu*dt/h^2 grows); a fixed dofs-per-aggregate coarse space bounds the
+    # sweep's condition number independent of h.  0 disables (round-2
+    # behavior).  The run length is fitted to divide the layout's OWv so the
+    # SPMD restriction stays on the dense reshape path.
+    cc_coarse_agg_v: int = 256
     # condition cap on the coarse Galerkin matrix: eigenvalues of Kc are
     # floored at max_eig/cap before inverting.  A weakly pinned Kp (short
     # outlet edge, long domain) leaves Kc a near-null mode whose uncapped

@@ -72,6 +72,103 @@ class WindowedAssembly:
     # reshape-sum/broadcast (TPU segment_sum lowers to a slow scatter:
     # measured 3 ms/apply at 543k DoF vs ~0 for the reshape)
     coarse_agg_size: int = field(default=0, metadata=dict(static=True))
+    # two-level coarse correction for the A00 (velocity) inner sweeps
+    # (KrylovConfig.cc_coarse_agg_v): one SCALAR coarse space shared by all
+    # velocity components (the constant block mass/dt + nu*rho*K is
+    # component-diagonal with identical blocks).  This is what makes the
+    # outer FGMRES iteration count h-robust: with plain Jacobi the sweep's
+    # contraction degrades as nu*dt/h^2 grows (measured 17 -> 48 outer
+    # iterations from 543k -> 1.78M DoF, VERDICT r2), while a fixed
+    # dofs-per-aggregate coarse space bounds the preconditioned condition
+    # number independent of h.
+    agg_v: jax.Array | None = None  # [n_vs] int32, values in [0, m_v]
+    coarse_inv_v: jax.Array | None = None  # [m_v, m_v]
+    coarse_agg_size_v: int = field(default=0, metadata=dict(static=True))
+
+
+def _capped_spd_inverse(Kc: np.ndarray, cond_cap: float) -> np.ndarray:
+    """Spectral-floored SPD inverse: eigenvalues floored at max_eig/cond_cap.
+
+    Guards (ADVICE r2): eigh on a pathological coarse matrix can fail to
+    converge — retry once with a diagonal shift; a degenerate coarse space
+    (w_max <= 0) would flip the floor's sign and break SPD — floor against a
+    trace-scaled tiny positive value instead.
+    """
+    m = Kc.shape[0]
+    try:
+        w, V = np.linalg.eigh(Kc)
+    except np.linalg.LinAlgError:
+        shift = 1e-8 * max(float(np.trace(Kc)) / max(m, 1), 1.0)
+        w, V = np.linalg.eigh(Kc + shift * np.eye(m))
+    tiny = 1e-12 * max(abs(float(np.trace(Kc))) / max(m, 1), 1.0)
+    w_max = max(float(w[-1]), tiny)
+    w = np.maximum(w, w_max / float(cond_cap))
+    return (V / w) @ V.T
+
+
+def _fit_agg_to_ow(s: int, OW: int) -> int:
+    """Smallest multiple of 128 dividing OW that is >= s (OW qualifies).
+
+    Keeps aggregate runs aligned to the per-device owned ranges (nb_loc * OW),
+    so the SPMD coarse restriction stays on the dense reshape path
+    (la/preconditioners.coarse_correction)."""
+    for d in range(1, OW // 128 + 1):
+        c = d * 128
+        if OW % c == 0 and c >= s:
+            return c
+    return OW
+
+
+def _pin_cell_mats(M: np.ndarray, cell_dofs: np.ndarray, pinned: np.ndarray) -> np.ndarray:
+    """Decouple pinned dofs in per-cell matrices: zero their off-diagonal
+    rows/cols in every copy, keep each copy's own diagonal entry.
+
+    M: [k, k, nv]; cell_dofs: [nv, k]; pinned: [n_dofs] bool."""
+    k = M.shape[0]
+    alive = ~pinned[cell_dofs]  # [nv, k]
+    out = M.copy()
+    diag_save = out[np.arange(k), np.arange(k), :].copy()
+    out *= alive.T[:, None, :]
+    out *= alive.T[None, :, :]
+    out[np.arange(k), np.arange(k), :] = diag_save
+    return out
+
+
+def _coarse_space(
+    cell_mats: np.ndarray,
+    cell_dofs: np.ndarray,
+    n_dofs: int,
+    mask: np.ndarray | None,
+    s_agg: int,
+    cond_cap: float,
+    shift_nullspace: bool = False,
+) -> tuple[np.ndarray, np.ndarray]:
+    """Aggregation coarse space: contiguous runs of ``s_agg`` dofs, Galerkin
+    coarse matrix Kc = Zt A Z assembled from the SAME (pinned) cell copies the
+    windowed operator scatters, dense spectrally-capped inverse.
+
+    cell_mats: [k, k, nv] valid-copy cell matrices; cell_dofs: [nv, k];
+    mask: real-dof mask (padding holes -> sentinel aggregate m, dropped).
+    Returns (agg [n_dofs] int64 in [0, m], coarse_inv [m, m])."""
+    m = -(-n_dofs // s_agg)
+    agg = np.arange(n_dofs, dtype=np.int64) // s_agg
+    if mask is not None:
+        agg = np.where(np.asarray(mask, bool), agg, m)
+    a_cell = agg[np.asarray(cell_dofs, np.int64)]
+    nv, k = a_cell.shape
+    ii = np.broadcast_to(a_cell[:, :, None], (nv, k, k))
+    jj = np.broadcast_to(a_cell[:, None, :], (nv, k, k))
+    Kc = np.zeros((m + 1, m + 1))
+    np.add.at(Kc, (ii.ravel(), jj.ravel()), cell_mats.transpose(2, 0, 1).ravel())
+    Kc = Kc[:m, :m]
+    d = np.diagonal(Kc).copy()
+    Kc[np.arange(m), np.arange(m)] = np.where(d > 0, d, 1.0)  # all-hole aggs
+    if shift_nullspace:
+        # pure-Neumann operator: shift off the constant nullspace
+        # (preconditioner quality is insensitive to the exact shift)
+        Kc[np.arange(m), np.arange(m)] += 1e-6 * (np.trace(Kc) / m)
+    Kc = 0.5 * (Kc + Kc.T)
+    return agg, _capped_spd_inverse(Kc, cond_cap)
 
 
 def compute_r_const(ctx, p_out, f_q=None) -> np.ndarray:
@@ -98,8 +195,8 @@ def compute_r_const(ctx, p_out, f_q=None) -> np.ndarray:
 
 def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_out,
                             jacobian_mass_rho=False, terms="navier_stokes",
-                            pin_pdofs=None, coarse_agg=0,
-                            coarse_cond_cap=1e4):
+                            pin_pdofs=None, coarse_agg=0, coarse_agg_v=0,
+                            pin_vdofs=None, coarse_cond_cap=1e4):
     """Precompute geometry + constant terms from a FEMContext (natural order).
 
     ctx: fem.assembly.FEMContext on the SAME blocked-renumbered dofs.
@@ -110,6 +207,11 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
     — the outflow pinning that makes the otherwise pure-Neumann Kp SPD
     nonsingular, so the inner Jacobi-CG sweeps cannot blow up along the
     constant-pressure nullspace.
+    coarse_agg / coarse_agg_v: aggregate run lengths of the two-level coarse
+    spaces for the Kp and A00 inner sweeps (0 disables either).
+    pin_vdofs: scalar velocity dofs decoupled in the A00 coarse Galerkin
+    matrix (the Dirichlet set, matching the bc-row substitution the inner
+    A00 matvec applies).
     """
     from .assembly import _neumann_residual
 
@@ -209,47 +311,68 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
     # windowed operator scatters, so the coarse matrix is the exact Galerkin
     # restriction of the operator the CG sweep sees; its dense inverse is a
     # host one-time cost (m capped at 4096).
+    #
+    # The inverse is spectrally floored: cond(Kc) is capped at
+    # coarse_cond_cap before inverting.  A weakly pinned Kp (e.g. mesh_poli's
+    # short outlet edge at the end of the long DFG channel, refined 2x)
+    # leaves Kc with a near-null mode — measured eig(Kc^-1) up to 5.1e3 vs
+    # <=24 on the well-pinned cylinder mesh — and the correction then
+    # amplifies that mode ~128*5e3 against the O(1) Jacobi term.  The outer
+    # tangent's Schur complement does NOT share that near-singularity (its
+    # pressure-mass term bounds it), so the mismatched amplification poisons
+    # the f32 Krylov basis: the 1.78M-DoF tangent solve stalled at 1.6x its
+    # tolerance for 300 FGMRES iterations with the uncapped inverse vs 17
+    # iterations with the coarse term disabled.  Flooring keeps the
+    # correction SPD, leaves well-conditioned coarse spaces untouched
+    # (cylinder mesh: cond 1.4e4 -> barely clipped), and restores big-leg
+    # convergence.
     agg_p = None
     coarse_inv = None
     if coarse_agg and coarse_agg > 0:
-        s_agg = max(int(coarse_agg), -(-dofs.n_ps // 4096))
-        m = -(-dofs.n_ps // s_agg)
-        agg = np.arange(dofs.n_ps, dtype=np.int64) // s_agg
-        if dofs.p_mask is not None:  # hole dofs: sentinel segment m (dropped)
-            agg = np.where(np.asarray(dofs.p_mask, bool), agg, m)
-        Kp_pin = Kp_t[:, :k_p, :][:, :, valid]  # pinned cell matrices
-        a_cell = agg[cpd]  # [nv, k_p]
-        nv = a_cell.shape[0]
-        ii = np.broadcast_to(a_cell[:, :, None], (nv, k_p, k_p))
-        jj = np.broadcast_to(a_cell[:, None, :], (nv, k_p, k_p))
-        Kc = np.zeros((m + 1, m + 1))
-        np.add.at(Kc, (ii.ravel(), jj.ravel()), Kp_pin.transpose(2, 0, 1).ravel())
-        Kc = Kc[:m, :m]
-        d = np.diagonal(Kc).copy()
-        Kc[np.arange(m), np.arange(m)] = np.where(d > 0, d, 1.0)  # all-hole aggs
-        if pin_pdofs is None or not len(pin_pdofs):
-            # pure-Neumann Kp: shift off the constant nullspace (preconditioner
-            # quality is insensitive to the exact shift)
-            Kc[np.arange(m), np.arange(m)] += 1e-6 * (np.trace(Kc) / m)
-        # Spectral-floored inverse: cond(Kc) is capped at coarse_cond_cap
-        # before inverting.  A weakly pinned Kp (e.g. mesh_poli's short outlet
-        # edge at the end of the long DFG channel, refined 2x) leaves Kc with
-        # a near-null mode — measured eig(Kc^-1) up to 5.1e3 vs <=24 on the
-        # well-pinned cylinder mesh — and the correction then amplifies that
-        # mode ~128*5e3 against the O(1) Jacobi term.  The outer tangent's
-        # Schur complement does NOT share that near-singularity (its
-        # pressure-mass term bounds it), so the mismatched amplification
-        # poisons the f32 Krylov basis: the 1.78M-DoF tangent solve stalled at
-        # 1.6x its tolerance for 300 FGMRES iterations with the uncapped
-        # inverse vs 17 iterations with the coarse term disabled.  Flooring
-        # eigenvalues at max/cond_cap keeps the correction SPD, leaves
-        # well-conditioned coarse spaces untouched (cylinder mesh: cond
-        # 1.4e4 -> barely clipped), and restores big-leg convergence.
-        Kc = 0.5 * (Kc + Kc.T)
-        w, V = np.linalg.eigh(Kc)
-        w = np.maximum(w, w[-1] / float(coarse_cond_cap))
-        coarse_inv = (V / w) @ V.T
-        agg_p = agg
+        s_agg = _fit_agg_to_ow(
+            max(int(coarse_agg), -(-dofs.n_ps // 4096)), lay.OWp
+        )
+        agg_p, coarse_inv = _coarse_space(
+            Kp_t[:, :k_p, :][:, :, valid],  # pinned cell matrices
+            cpd,
+            dofs.n_ps,
+            dofs.p_mask,
+            s_agg,
+            coarse_cond_cap,
+            shift_nullspace=(pin_pdofs is None or not len(pin_pdofs)),
+        )
+
+    # ---- two-level coarse space for the A00 (velocity) sweeps -------------
+    # One scalar coarse space shared by all velocity components, built from
+    # the CONSTANT part of the tangent's velocity block (mass/dt + viscous;
+    # the convection perturbation is left to the Jacobi term and the sweep
+    # itself).  Dirichlet velocity dofs (pin_vdofs) are decoupled exactly
+    # like Kp's outflow pinning, matching the bc-row substitution the inner
+    # A00 matvec applies.  This bounds the Jacobi-CG sweep's effective
+    # condition number independent of h — the h-robustness fix for the
+    # outer FGMRES count (VERDICT r2 #1).
+    agg_v = None
+    coarse_inv_v = None
+    s_agg_v = 0
+    if coarse_agg_v and coarse_agg_v > 0:
+        s_agg_v = _fit_agg_to_ow(
+            max(int(coarse_agg_v), -(-dofs.n_vs // 4096)), lay.OWv
+        )
+        cvd = np.asarray(dofs.cell_vdofs, np.int64)[ids[valid]]  # [nv, k_v]
+        blk_v = diag_blk[:, :, valid]
+        if pin_vdofs is not None and len(pin_vdofs):
+            pinned_v = np.zeros(dofs.n_vs, dtype=bool)
+            pinned_v[np.asarray(pin_vdofs, np.int64)] = True
+            blk_v = _pin_cell_mats(blk_v, cvd, pinned_v)
+        agg_v, coarse_inv_v = _coarse_space(
+            blk_v,
+            cvd,
+            dofs.n_vs,
+            dofs.v_mask,
+            s_agg_v,
+            coarse_cond_cap,
+            shift_nullspace=(pin_vdofs is None or not len(pin_vdofs)),
+        )
 
     as_f = lambda a: jnp.asarray(a, dtype=dtype)
     return WindowedAssembly(
@@ -267,6 +390,9 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
         agg_p=None if agg_p is None else jnp.asarray(agg_p, jnp.int32),
         coarse_inv=None if coarse_inv is None else as_f(coarse_inv),
         coarse_agg_size=0 if coarse_inv is None else s_agg,
+        agg_v=None if agg_v is None else jnp.asarray(agg_v, jnp.int32),
+        coarse_inv_v=None if coarse_inv_v is None else as_f(coarse_inv_v),
+        coarse_agg_size_v=0 if coarse_inv_v is None else s_agg_v,
     )
 
 
@@ -281,6 +407,7 @@ def assemble_windowed(
     rho: float,
     convection_form: str = "reference",
     include_continuity_residual: bool = False,
+    include_time_term: bool = True,
     axis_name: str | None = None,
 ):
     """One Newton-tangent assembly in the windowed layout.
@@ -289,6 +416,11 @@ def assemble_windowed(
     exact same values as fem.assembly.assemble_navier_stokes scattered flat
     (cross-checked in tests/test_windowed_assembly.py).  Dirichlet rows are
     NOT applied here, matching the reference's assemble-then-BC split.
+
+    include_time_term=False drops the residual's -(rho/dt)(u - u_old) term:
+    the STEADY Navier-Stokes residual (the reference's legacy variant,
+    hpp:1-368), paired with a wa built with terms="stokes" so A_const carries
+    no mass block.  dt/u_old are then ignored.
 
     axis_name: inside shard_map with a LOCAL layout + block-sharded wa arrays
     (parallel/windowed_spmd), all contractions stay local; only the window
@@ -300,14 +432,15 @@ def assemble_windowed(
     Gp = wa.Gp_t  # [k_v, nq, dim, ncd]
 
     X = windowed_gather(lay, u, axis_name=axis_name)  # [nli, ncd]
-    Xo = windowed_gather(lay, u_old, axis_name=axis_name)
     Xv = X[: dim * k_v].reshape(dim, k_v, -1)
-    Xov = Xo[: dim * k_v].reshape(dim, k_v, -1)
     Xp = X[dim * k_v : nl]
 
     # fields at quadrature points (cells on lanes)
     u_q = jnp.einsum("bq,dbc->dqc", Nv, Xv, precision=_PREC)
-    uo_q = jnp.einsum("bq,dbc->dqc", Nv, Xov, precision=_PREC)
+    if include_time_term:
+        Xo = windowed_gather(lay, u_old, axis_name=axis_name)
+        Xov = Xo[: dim * k_v].reshape(dim, k_v, -1)
+        uo_q = jnp.einsum("bq,dbc->dqc", Nv, Xov, precision=_PREC)
     gu_q = jnp.einsum("dbc,bqac->daqc", Xv, Gp, precision=_PREC)  # du_d/dx_a
     p_q = jnp.einsum("bq,bc->qc", Np, Xp, precision=_PREC)
 
@@ -334,7 +467,9 @@ def assemble_windowed(
         conv = jnp.einsum("dqc,adqc->aqc", u_q, gu_q, precision=_PREC)
     else:
         raise ValueError(convection_form)
-    src = -(rho / dt) * (u_q - uo_q) - rho * conv  # [dim, nq, ncd]
+    src = -rho * conv  # [dim, nq, ncd]
+    if include_time_term:
+        src = src - (rho / dt) * (u_q - uo_q)
     r_mom = jnp.einsum("aqc,iq->aic", src * W, Nv, precision=_PREC)
     r_mom = r_mom - (nu * rho) * jnp.einsum(
         "abqc,iqbc->aic", guW, Gp, precision=_PREC

@@ -37,7 +37,10 @@ __all__ = ["GmresResult", "fgmres"]
 
 class GmresResult(NamedTuple):
     x: jax.Array
-    iters: jax.Array  # total matvec count
+    # accepted Arnoldi iterations; actual matvecs = iters + one true-residual
+    # matvec per restart cycle (+1 when x0 is given) — see the cost model in
+    # the fgmres docstring
+    iters: jax.Array
     residual: jax.Array  # final (estimated) residual norm
     converged: jax.Array
 

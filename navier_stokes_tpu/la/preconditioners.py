@@ -34,10 +34,13 @@ from .operators import ElementOperator, diagonal, matvec
 __all__ = [
     "identity",
     "jacobi",
+    "coarse_correction",
     "block_diagonal",
     "block_triangular",
     "rect_matvec",
 ]
+
+_PREC_HI = jax.lax.Precision.HIGHEST
 
 
 def identity() -> Callable:
@@ -48,6 +51,104 @@ def jacobi(diag: jax.Array) -> Callable:
     """Pointwise inverse-diagonal (safe at zeros)."""
     inv = jnp.where(diag != 0, 1.0 / jnp.where(diag != 0, diag, 1.0), 1.0)
     return lambda v: inv * v
+
+
+def coarse_correction(
+    agg: jax.Array,
+    coarse_inv: jax.Array,
+    agg_size: int,
+    ncomp: int = 1,
+    axis_name: str | None = None,
+) -> Callable:
+    """Two-level aggregation correction ``r -> Z Kc^-1 Zt r``.
+
+    The SPD additive coarse term of the Cahouet-Chabard / A00 inner sweeps
+    (M^-1 = D^-1 + Z Kc^-1 Zt); shared by the production preconditioner
+    (models/navier_stokes.py) and the stage profiler so the two can never
+    desynchronize (ADVICE r2).
+
+    agg:        [n_s] int32 GLOBAL aggregate id per local scalar dof
+                (sentinel ``m`` marks padding holes, dropped).
+    coarse_inv: [m, m] dense inverse of the coarse Galerkin matrix
+                (fem/windowed_assembly two-level construction).
+    agg_size:   contiguous run length; aggregates are runs of this many
+                consecutive scalar dofs, so restriction/prolongation are a
+                dense reshape-sum / broadcast (a TPU ``segment_sum`` lowers to
+                a ~3 ms scatter at 543k DoF; the reshape is ~free).  0 selects
+                the general segment-sum path.
+    ncomp:      vector components sharing ONE scalar coarse space; the input
+                is component-major [ncomp * n_s] and the correction applies
+                per component (the constant velocity block is
+                component-diagonal, so Kc is shared).
+    axis_name:  inside shard_map: agg/r are the device's local chunks, the
+                [ncomp, m] coarse residual is one tiny psum, coarse_inv is
+                replicated.  The reshape path additionally requires each
+                device's range to be WHOLE aggregates (n_s % agg_size == 0,
+                guaranteed when agg_size divides the layout's OW).
+    """
+    m_c = coarse_inv.shape[0]
+    n_s = agg.shape[0]
+    hole = agg >= m_c  # [n_s]
+
+    def _solve(seg):  # [ncomp, m] coarse residual -> [ncomp, m] correction
+        return jnp.einsum("mk,ck->cm", coarse_inv, seg, precision=_PREC_HI)
+
+    if agg_size and axis_name is None:
+        sa = int(agg_size)
+        mm = -(-n_s // sa)
+        npad = mm * sa - n_s
+
+        def coarse(r):
+            r2 = r.reshape(ncomp, n_s)
+            rm = jnp.where(hole, 0.0, r2).astype(coarse_inv.dtype)
+            seg = jnp.pad(rm, ((0, 0), (0, npad))).reshape(ncomp, mm, sa).sum(-1)
+            y = _solve(seg)
+            corr = jnp.broadcast_to(y[:, :, None], (ncomp, mm, sa)).reshape(
+                ncomp, -1
+            )[:, :n_s]
+            return jnp.where(hole, 0.0, corr).astype(r.dtype).reshape(-1)
+
+        return coarse
+
+    if agg_size and axis_name is not None and n_s % int(agg_size) == 0:
+        sa = int(agg_size)
+        m_loc = n_s // sa
+
+        def coarse(r):
+            r2 = r.reshape(ncomp, n_s)
+            rm = jnp.where(hole, 0.0, r2).astype(coarse_inv.dtype)
+            seg_loc = rm.reshape(ncomp, m_loc, sa).sum(-1)
+            d = jax.lax.axis_index(axis_name)
+            s = jax.lax.dynamic_update_slice(
+                jnp.zeros((ncomp, m_c), seg_loc.dtype), seg_loc, (d * 0, d * m_loc)
+            )
+            s = jax.lax.psum(s, axis_name)
+            y_loc = jax.lax.dynamic_slice(
+                _solve(s), (d * 0, d * m_loc), (ncomp, m_loc)
+            )
+            corr = jnp.broadcast_to(
+                y_loc[:, :, None], (ncomp, m_loc, sa)
+            ).reshape(ncomp, -1)
+            return jnp.where(hole, 0.0, corr).astype(r.dtype).reshape(-1)
+
+        return coarse
+
+    def coarse(r):  # general path (irregular aggregates / non-aligned shards)
+        r2 = r.reshape(ncomp, n_s)
+        s = jax.vmap(
+            lambda rc: jax.ops.segment_sum(
+                rc.astype(coarse_inv.dtype), agg, num_segments=m_c + 1
+            )[:m_c]
+        )(r2)
+        if axis_name is not None:
+            s = jax.lax.psum(s, axis_name)
+        y = _solve(s)
+        y_ext = jnp.concatenate([y, jnp.zeros((ncomp, 1), y.dtype)], axis=1)
+        return jnp.take_along_axis(
+            y_ext, jnp.broadcast_to(agg[None, :], (ncomp, n_s)), axis=1
+        ).astype(r.dtype).reshape(-1)
+
+    return coarse
 
 
 def rect_matvec(

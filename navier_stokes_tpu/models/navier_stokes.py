@@ -203,6 +203,7 @@ class NavierStokesSolver:
             self.spmd_mesh = device_mesh(self.n_devices)
             centroids = self.mesh.coords[self.mesh.cells].mean(axis=1)
             order = morton_order(centroids)
+            self._cell_order = order  # natural -> padded/sharded cell order
             self.ctx = pad_and_shard_context(self.ctx, self.spmd_mesh, cell_order=order)
             # real per-cell ownership for the output writer (cpp:702-705):
             # contiguous morton chunks of padded cells per device
@@ -228,6 +229,10 @@ class NavierStokesSolver:
                 jacobian_mass_rho=cfg.jacobian_mass_rho,
                 pin_pdofs=self.dofs.boundary_scalar_pdofs(cfg.neumann_tags),
                 coarse_agg=cfg.krylov.cc_coarse_agg,
+                coarse_agg_v=cfg.krylov.cc_coarse_agg_v,
+                pin_vdofs=self.dofs.boundary_scalar_vdofs(
+                    tuple(cfg.inlet_tags) + tuple(cfg.wall_tags)
+                ),
                 coarse_cond_cap=cfg.krylov.cc_coarse_cond_cap,
             )
 
@@ -321,7 +326,7 @@ class NavierStokesSolver:
 
     def _make_windowed_preconditioner(
         self, lay, A_t, wa, bc_diag, diag0, bc_rows, axis_name=None,
-        mass_coef=None, kind=None,
+        mass_coef=None, kind=None, a00_solver=None,
     ):
         """Schur preconditioners built ON the windowed operator.
 
@@ -342,11 +347,12 @@ class NavierStokesSolver:
         """
         cfg = self.cfg
         kind = kind or cfg.krylov.preconditioner
+        a00_solver = a00_solver or cfg.krylov.a00_solver
         if kind == "identity":
             return identity()
         from ..la.cg import cg
         from ..la.gmres import _norm
-        from ..la.preconditioners import jacobi
+        from ..la.preconditioners import coarse_correction, jacobi
         from ..ops.windowed import slice_block, windowed_matvec, windowed_matvec_block
 
         n = lay.dim * lay.n_vs + lay.n_ps  # local length under SPMD
@@ -357,11 +363,22 @@ class NavierStokesSolver:
         inv_mp = wa.inv_mp
 
         # Jacobi diagonal of A00 with symmetric-BC replacement (sentinel
-        # rows drop; bc rows are all velocity rows by construction)
+        # rows drop; bc rows are all velocity rows by construction), plus the
+        # two-level velocity coarse correction when built (cc_coarse_agg_v):
+        # a fixed dofs-per-aggregate coarse space keeps the A00 sweep's
+        # contraction h-independent, which keeps the OUTER FGMRES count flat
+        # as the mesh refines (VERDICT r2 #1)
         diag_u = diag0[:n_u]
         if bc_rows.shape[0]:
             diag_u = diag_u.at[bc_rows].set(bc_diag, mode="drop")
         pA = jacobi(diag_u)
+        if wa.coarse_inv_v is not None:
+            jac_u = pA
+            coarse_v = coarse_correction(
+                wa.agg_v, wa.coarse_inv_v, wa.coarse_agg_size_v,
+                ncomp=lay.dim, axis_name=axis_name,
+            )
+            pA = lambda r: jac_u(r) + coarse_v(r)
 
         if kind == "cahouet_chabard":
             A00_blk = slice_block(lay, A_t, "v", "v")
@@ -394,72 +411,14 @@ class NavierStokesSolver:
                 # two-level: M^-1 = D^-1 + Z Kc^-1 Zt (SPD additive coarse
                 # correction; KrylovConfig.cc_coarse_agg).  The [m] restriction
                 # is global — one tiny psum under SPMD — and holes route to the
-                # dropped sentinel segment m.
-                m_c = wa.coarse_inv.shape[0]
+                # dropped sentinel segment m.  Shared reshape-based apply:
+                # la/preconditioners.coarse_correction.
                 jac_kp = pKp
-
-                if axis_name is None and wa.coarse_agg_size:
-                    # single device: aggregates are contiguous runs, so Z/Zt
-                    # are a dense reshape-sum + broadcast (the segment_sum
-                    # below lowers to a TPU scatter costing ~3 ms/apply at
-                    # 543k DoF; this path is ~free)
-                    sa = wa.coarse_agg_size
-                    nps_l = wa.diag_kp.shape[0]
-                    npad = m_c * sa - nps_l
-                    hole = wa.agg_p >= m_c
-
-                    def pKp(r, _jac=jac_kp):
-                        rm = jnp.where(hole, 0.0, r).astype(wa.coarse_inv.dtype)
-                        seg = jnp.pad(rm, (0, npad)).reshape(m_c, sa).sum(axis=1)
-                        y = jnp.dot(wa.coarse_inv, seg, precision=_PREC_HI)
-                        corr = jnp.broadcast_to(
-                            y[:, None], (m_c, sa)
-                        ).reshape(-1)[:nps_l]
-                        return _jac(r) + jnp.where(hole, 0.0, corr).astype(r.dtype)
-
-                elif (
-                    axis_name is not None
-                    and wa.coarse_agg_size
-                    and wa.diag_kp.shape[0] % wa.coarse_agg_size == 0
-                ):
-                    # SPMD: OWp is a multiple of 128 >= the aggregate run, so
-                    # each device's contiguous pressure range is WHOLE
-                    # aggregates [d*m_loc, (d+1)*m_loc) — local Z/Zt are the
-                    # same reshape, placed into the global [m_c] coarse
-                    # residual at the device offset before the psum (the
-                    # local-segment_sum alternative is a TPU scatter)
-                    sa = wa.coarse_agg_size
-                    m_loc = wa.diag_kp.shape[0] // sa
-                    hole = wa.agg_p >= m_c
-
-                    def pKp(r, _jac=jac_kp):
-                        rm = jnp.where(hole, 0.0, r).astype(wa.coarse_inv.dtype)
-                        seg_loc = rm.reshape(m_loc, sa).sum(axis=1)
-                        d = jax.lax.axis_index(axis_name)
-                        s = jax.lax.dynamic_update_slice(
-                            jnp.zeros((m_c,), seg_loc.dtype), seg_loc,
-                            (d * m_loc,),
-                        )
-                        s = jax.lax.psum(s, axis_name)
-                        y = jnp.dot(wa.coarse_inv, s, precision=_PREC_HI)
-                        y_loc = jax.lax.dynamic_slice(y, (d * m_loc,), (m_loc,))
-                        corr = jnp.broadcast_to(
-                            y_loc[:, None], (m_loc, sa)
-                        ).reshape(-1)
-                        return _jac(r) + jnp.where(hole, 0.0, corr).astype(r.dtype)
-
-                else:
-
-                    def pKp(r, _jac=jac_kp):
-                        s = jax.ops.segment_sum(
-                            r.astype(wa.coarse_inv.dtype), wa.agg_p,
-                            num_segments=m_c + 1,
-                        )[:m_c]
-                        if axis_name is not None:
-                            s = jax.lax.psum(s, axis_name)
-                        y = jnp.dot(wa.coarse_inv, s, precision=_PREC_HI)
-                        y_ext = jnp.concatenate([y, jnp.zeros((1,), y.dtype)])
-                        return _jac(r) + y_ext[wa.agg_p].astype(r.dtype)
+                coarse_p = coarse_correction(
+                    wa.agg_p, wa.coarse_inv, wa.coarse_agg_size,
+                    ncomp=1, axis_name=axis_name,
+                )
+                pKp = lambda r: jac_kp(r) + coarse_p(r)
             if mass_coef is None:
                 # time-stepping tangent: A00 ~ coef/dt_tangent * M => S^-1's
                 # Laplacian term carries the same coefficient (BDF2 folds its
@@ -469,7 +428,7 @@ class NavierStokesSolver:
                     cfg.rho if cfg.jacobian_mass_rho else 1.0
                 ) / self._dt_tangent
 
-            if cfg.krylov.a00_solver == "gmres":
+            if a00_solver == "gmres":
                 # convection-robust inner sweep: at large dt (steady-ish
                 # tangents) A00 is convection-dominated and NONSYMMETRIC —
                 # fixed-iteration CG on it returns garbage directions that
@@ -526,7 +485,7 @@ class NavierStokesSolver:
 
         inner_maxiter = min(cfg.krylov.inner_max_iters, 60)
 
-        if cfg.krylov.a00_solver == "gmres":
+        if a00_solver == "gmres":
             # convection-robust inner sweep (see KrylovConfig.a00_solver):
             # the CG sweep below on a convection-dominated NONSYMMETRIC A00
             # emits divergent directions that stagnate the outer FGMRES
@@ -688,7 +647,7 @@ class NavierStokesSolver:
             from ..parallel import windowed_spmd as wspmd
             from ..parallel.spmd import shard_map
 
-            lay_s, wa_s = self._lay_sharded, self._wa_sharded
+            lay_s = self._lay_sharded
             bcl = jnp.asarray(self._bc_local)  # [n_dev, m] local rows
             sh = P(wspmd.AXIS)
             wrapped = shard_map(
@@ -698,20 +657,20 @@ class NavierStokesSolver:
                 ),
                 self.spmd_mesh,
                 in_specs=(
-                    wspmd.wa_pspecs(wa_s), wspmd.layout_pspecs(lay_s),
+                    wspmd.wa_pspecs(self._wa_sharded), wspmd.layout_pspecs(lay_s),
                     sh, sh, sh, sh, P(), P(),
                 ),
                 out_specs=(sh, P(), P(), P(), P()),
             )
+            # wa is read from self at CALL time (not baked at build time) so
+            # time-dependent forcing's r_const leaf swap takes effect
             self.newton_iteration_fn = lambda u, uo, bv: wrapped(
-                wa_s, lay_s, u, uo, bcl, bv, jnp.asarray(cfg.dt, self._dtype),
-                jnp.asarray(False),
+                self._wa_sharded, lay_s, u, uo, bcl, bv,
+                jnp.asarray(cfg.dt, self._dtype), jnp.asarray(False),
             )
-            self._newton_iteration = jax.jit(
-                lambda u, uo, bv, dtr, fs: wrapped(
-                    wa_s, lay_s, u, uo, bcl, bv, dtr, fs
-                ),
-                donate_argnums=(0,),
+            jitted = jax.jit(wrapped, donate_argnums=(2,))
+            self._newton_iteration = lambda u, uo, bv, dtr, fs: jitted(
+                self._wa_sharded, lay_s, u, uo, bcl, bv, dtr, fs
             )
         elif self.spmd_mesh is not None:
             from jax.sharding import PartitionSpec as P
@@ -726,13 +685,14 @@ class NavierStokesSolver:
                 in_specs=(context_pspecs(self.ctx), P(), P(), P(), P(), P()),
                 out_specs=(P(), P(), P(), P(), P()),
             )
-            ctx = self.ctx
+            # ctx read from self at CALL time: forcing updates swap ctx.f_q
             self.newton_iteration_fn = lambda u, uo, bv: wrapped(
-                ctx, u, uo, bv, jnp.asarray(cfg.dt, self._dtype), jnp.asarray(False)
+                self.ctx, u, uo, bv, jnp.asarray(cfg.dt, self._dtype),
+                jnp.asarray(False),
             )
-            self._newton_iteration = jax.jit(
-                lambda u, uo, bv, dtr, fs: wrapped(ctx, u, uo, bv, dtr, fs),
-                donate_argnums=(0,),
+            jitted = jax.jit(wrapped, donate_argnums=(1,))
+            self._newton_iteration = lambda u, uo, bv, dtr, fs: jitted(
+                self.ctx, u, uo, bv, dtr, fs
             )
         else:
             jitted = jax.jit(newton_iteration, donate_argnums=(3,), static_argnames=("axis_name",))
@@ -764,12 +724,9 @@ class NavierStokesSolver:
         log.banner()
         log.print("Assembling the Stokes system")
         if self._win_layout is None:
-            if self.spmd_mesh is not None:
-                raise NotImplementedError(
-                    "Stokes initial guess under flat SPMD is not wired; use "
-                    "matvec='windowed' (owned-range DD) or a single device"
-                )
-            # flat single-device: StokesSolver shares the natural numbering
+            # flat path: StokesSolver shares the natural dof numbering (flat
+            # SPMD permutes/pads CELLS only and replicates vectors, so the
+            # single-device Stokes solution is layout-identical)
             import copy as _copy
 
             from .stokes import StokesSolver
@@ -866,6 +823,219 @@ class NavierStokesSolver:
         log.print("Solving the Stokes system")
         log.gmres_iters(int(iters), system="stokes")
         return x
+
+    # ------------------------------------------------------------------
+    def solve_steady(
+        self,
+        *,
+        tol: float = 1e-8,
+        max_iters: int = 10,
+        damping: float = 1.0,
+        line_search: bool = True,
+        initial_guess: str = "stokes",
+    ):
+        """First-class STEADY Navier-Stokes solve.
+
+        The reference's legacy variant (``hpp:1-368`` declares the steady
+        class; ``cpp:811-833`` is its ``run_newton_loop``): Newton on the
+        steady residual (no mass term) starting from the Stokes solution,
+        stopping on the RELATIVE-UPDATE criterion
+        ``||u_new - u_prev|| / n_dofs <= tol`` (cpp:823-825; legacy defaults
+        TOL=1e-8, MAX_ITER=10).  Framework extensions over the legacy loop:
+        optional damping and backtracking line search on the residual norm
+        (the damped variants the reference comments out at cpp:615-617), and
+        the tangent's A00 inner sweeps forced to FGMRES — the steady tangent
+        is convection-dominated and NONSYMMETRIC, where fixed-iteration CG
+        returns divergent directions (KrylovConfig.a00_solver).
+
+        The Schur preconditioner runs with mass_coef=0 (pure pressure-mass
+        surrogate): without the time term the Schur complement is spectrally
+        equivalent to Mp/nu, not to the Cahouet-Chabard Laplacian sum.
+
+        Returns (n_iters, update_norm).  Requires the windowed operator.
+        """
+        if not self._is_setup:
+            self.setup()
+        cfg, log = self.cfg, self.log
+        if self._win_layout is None:
+            raise NotImplementedError(
+                "solve_steady requires the windowed operator "
+                "(cfg.krylov.matvec='windowed')"
+            )
+        from ..fem.windowed_assembly import assemble_windowed, build_windowed_assembly
+        from ..la.gmres import _norm
+        from ..ops.windowed import windowed_matvec
+
+        wa_sd = build_windowed_assembly(
+            self.ctx, self._win_layout, self.dofs,
+            dt=1.0, nu=cfg.nu, rho=cfg.rho, p_out=cfg.p_out,
+            terms="stokes",  # constant tangent part without the mass block
+            pin_pdofs=self.dofs.boundary_scalar_pdofs(cfg.neumann_tags),
+            coarse_agg=cfg.krylov.cc_coarse_agg,
+            coarse_agg_v=cfg.krylov.cc_coarse_agg_v,
+            pin_vdofs=self.dofs.boundary_scalar_vdofs(
+                tuple(cfg.inlet_tags) + tuple(cfg.wall_tags)
+            ),
+            coarse_cond_cap=cfg.krylov.cc_coarse_cond_cap,
+        )
+
+        def steady_iteration(wa, lay, u, bc_rows, bc_vals, axis_name=None):
+            A_t, residual, diag0 = assemble_windowed(
+                wa, lay, u, u, dt=1.0, nu=cfg.nu, rho=cfg.rho,
+                convection_form=cfg.convection_form,
+                include_continuity_residual=cfg.include_continuity_residual,
+                include_time_term=False, axis_name=axis_name,
+            )
+            bc_diag = diag0.at[bc_rows].get(mode="fill", fill_value=1.0)
+            bc_target = bc_vals - u.at[bc_rows].get(mode="fill", fill_value=0.0)
+            residual = residual.at[bc_rows].set(bc_diag * bc_target, mode="drop")
+            res_norm = _norm(residual, axis_name)
+
+            def apply_op(v):
+                y = windowed_matvec(
+                    lay, A_t, v, passes=cfg.krylov.matvec_passes,
+                    axis_name=axis_name,
+                )
+                if bc_rows.shape[0]:
+                    vb = v.at[bc_rows].get(mode="fill", fill_value=0.0)
+                    y = y.at[bc_rows].set(bc_diag * vb, mode="drop")
+                return y
+
+            precond = self._make_windowed_preconditioner(
+                lay, A_t, wa, bc_diag, diag0, bc_rows, axis_name,
+                mass_coef=0.0, a00_solver="gmres",
+            )
+            sol = fgmres(
+                apply_op, residual,
+                atol=cfg.krylov.rel_tol * res_norm,
+                restart=cfg.krylov.restart,
+                maxiter=cfg.krylov.max_iters,
+                precond=precond,
+                axis_name=axis_name,
+            )
+            return sol.x, bc_diag, res_norm, sol.iters, sol.converged, sol.residual
+
+        _ALPHAS = (1.0, 0.5, 0.25, 0.125)
+
+        def trial_norms(wa, lay, u, delta, bc_rows, bc_vals, bc_diag, axis_name=None):
+            # residual norms along the backtracking ladder; the tangent
+            # blocks are unused outputs, so XLA dead-code-eliminates them —
+            # each trial costs ~the residual part of one assembly
+            norms = []
+            for a in _ALPHAS:
+                ut = u + (a * damping) * delta
+                _, r, _ = assemble_windowed(
+                    wa, lay, ut, ut, dt=1.0, nu=cfg.nu, rho=cfg.rho,
+                    convection_form=cfg.convection_form,
+                    include_continuity_residual=cfg.include_continuity_residual,
+                    include_time_term=False, axis_name=axis_name,
+                )
+                tgt = bc_vals - ut.at[bc_rows].get(mode="fill", fill_value=0.0)
+                r = r.at[bc_rows].set(bc_diag * tgt, mode="drop")
+                norms.append(_norm(r, axis_name))
+            return jnp.stack(norms)
+
+        if self._dist is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel import windowed_spmd as wspmd
+            from ..parallel.spmd import shard_map
+
+            wa_s = wspmd.shard_wa(wa_sd, self._dist, self.spmd_mesh)
+            lay_s = self._lay_sharded
+            bcl = jnp.asarray(self._bc_local)
+            sh = P(wspmd.AXIS)
+            it_fn = jax.jit(shard_map(
+                lambda wa, lay, u, br, bv: steady_iteration(
+                    wa, lay, u, br[0], bv[0], axis_name=wspmd.AXIS
+                ),
+                self.spmd_mesh,
+                in_specs=(wspmd.wa_pspecs(wa_s), wspmd.layout_pspecs(lay_s),
+                          sh, sh, sh),
+                out_specs=(sh, P(), P(), P(), P(), P()),
+            ))
+            ls_fn = jax.jit(shard_map(
+                lambda wa, lay, u, d, br, bv, bd: trial_norms(
+                    wa, lay, u, d, br[0], bv[0], bd, axis_name=wspmd.AXIS
+                ),
+                self.spmd_mesh,
+                in_specs=(wspmd.wa_pspecs(wa_s), wspmd.layout_pspecs(lay_s),
+                          sh, sh, sh, sh, P()),
+                out_specs=P(),
+            ))
+            vals = wspmd.localize_values(
+                np.asarray(self.dirichlet.values(self.time)),
+                self._bc_dev, self._bc_slot,
+                self._dist.n_dev, self._bc_local.shape[1],
+            )
+            bc_vals = jnp.asarray(vals, dtype=self._dtype)
+
+            def do_iter(u):
+                return it_fn(wa_s, lay_s, u, bcl, bc_vals)
+
+            def do_ls(u, d, bd):
+                return ls_fn(wa_s, lay_s, u, d, bcl, bc_vals, bd)
+
+        else:
+            lay = self._win_layout
+            bc_rows = self._bc_rows
+            bc_vals = jnp.asarray(
+                self.dirichlet.values(self.time), dtype=self._dtype
+            )
+            it_fn = jax.jit(steady_iteration, static_argnames=("axis_name",))
+            ls_fn = jax.jit(trial_norms, static_argnames=("axis_name",))
+
+            def do_iter(u):
+                return it_fn(wa_sd, lay, u, bc_rows, bc_vals)
+
+            def do_ls(u, d, bd):
+                return ls_fn(wa_sd, lay, u, d, bc_rows, bc_vals, bd)
+
+        log.banner()
+        if initial_guess == "stokes":
+            u = jnp.asarray(self.stokes_initial_guess(self.time), self._dtype)
+        else:  # "current": continuation from the solver's state
+            u = self.solution
+        n_scale = float(self.dofs.n_total)
+        upd = tol + 1.0
+        it = 0
+        while it == 0 or (upd > tol and it < max_iters):  # cpp:820
+            delta, bc_diag, res_norm, kiters, kconv, kres = do_iter(u)
+            log.print("Assembling the system")
+            log.gmres_iters(int(kiters))
+            if not bool(kconv):
+                log.krylov_failure(int(kiters), float(kres))
+                if cfg.krylov.on_failure == "raise":
+                    raise RuntimeError(
+                        f"steady tangent solve did not converge: residual "
+                        f"{float(kres):.6e} after {int(kiters)} iterations"
+                    )
+            alpha = damping
+            if line_search:
+                norms = np.asarray(do_ls(u, delta, bc_diag))
+                r0 = float(res_norm)
+                # largest step with sufficient decrease; fall back to the
+                # best trial (classic backtracking on ||r||)
+                ok = norms <= (1.0 - 1e-4 * np.asarray(_ALPHAS)) * r0
+                pick = int(np.argmax(ok)) if ok.any() else int(np.argmin(norms))
+                alpha = _ALPHAS[pick] * damping
+            u = u + alpha * delta
+            upd = float(alpha) * float(
+                jnp.linalg.norm(delta) if self._dist is None
+                else jnp.linalg.norm(delta)  # device-major: same 2-norm
+            ) / n_scale
+            it += 1
+            log.print(f"Residual = {upd:.6f}")  # cpp:829 legacy format
+            log.records.append({
+                "event": "steady_newton", "iter": it, "update": upd,
+                "res_norm": float(res_norm), "gmres_iters": int(kiters),
+                "alpha": float(alpha),
+            })
+        if it >= max_iters and upd > tol:
+            log.print("WARNING: Newton's method failed to converge\n")  # cpp:831
+        self.solution = u
+        self.solution_old = u.copy()
+        return it, upd
 
     # ------------------------------------------------------------------
     def solve_newton(self):
@@ -1071,14 +1241,17 @@ class NavierStokesSolver:
         Returns dict with per-step arrays: "functional" [n_steps, ...],
         "residual" [n_steps] (post-Newton), "gmres_iters" [n_steps].
 
-        Restrictions: single-device (no SPMD), static forcing, no per-step
+        Composes with BOTH SPMD paths (the reference's ONE time loop runs on
+        any rank count, cpp:629-679): under windowed SPMD the whole chunk
+        scan runs inside shard_map with the per-step Dirichlet schedule
+        pre-localized per device, and the functional is evaluated on the
+        all-gathered planar vector (one O(n) collective per step, only when a
+        functional is requested).  Restrictions: static forcing, no per-step
         output hooks (write checkpoints/fields at chunk boundaries instead).
         """
         if not self._is_setup:
             self.setup()
         cfg, log = self.cfg, self.log
-        if self._dist is not None or self.spmd_mesh is not None:
-            raise NotImplementedError("solve_scanned is single-device")
         if self._forcing_time_dep:
             raise NotImplementedError("solve_scanned needs static forcing")
         if not resume:
@@ -1095,23 +1268,55 @@ class NavierStokesSolver:
 
         n_steps = int(round((cfg.T - self.time) / cfg.dt))
         t0 = self.time
-        # host-precomputed Dirichlet schedule [n_steps, n_bc]
-        bc_sched = np.stack(
-            [
-                np.asarray(self.dirichlet.values(t0 + (k + 1) * cfg.dt))
-                for k in range(n_steps)
-            ]
-        ).astype(self._dtype)
+        dist = self._dist
+        if dist is not None:
+            # windowed SPMD: Dirichlet schedule pre-localized per device,
+            # [n_steps, n_dev, m] (same transform solve_newton applies per
+            # step, hoisted over the whole schedule)
+            from ..parallel.windowed_spmd import localize_values
+
+            bc_sched = np.stack(
+                [
+                    localize_values(
+                        np.asarray(self.dirichlet.values(t0 + (k + 1) * cfg.dt)),
+                        self._bc_dev, self._bc_slot,
+                        dist.n_dev, self._bc_local.shape[1],
+                    )
+                    for k in range(n_steps)
+                ]
+            ).astype(self._dtype)
+        else:
+            # host-precomputed Dirichlet schedule [n_steps, n_bc]
+            bc_sched = np.stack(
+                [
+                    np.asarray(self.dirichlet.values(t0 + (k + 1) * cfg.dt))
+                    for k in range(n_steps)
+                ]
+            ).astype(self._dtype)
 
         ctx, wa, lay = self.ctx, self._wassembly, self._win_layout
-        bc_rows = self._bc_rows
         body = self._newton_body
         bdf2 = cfg.time_scheme == "bdf2"
         dt_res1 = jnp.asarray(cfg.dt, self._dtype)
         dt_res2 = jnp.asarray(cfg.dt / 1.5, self._dtype)
         K = int(newton_iters)
 
-        def step_fn(ctx_a, wa_a, lay_a, carry, bc_vals):
+        if dist is not None:
+            from ..parallel import windowed_spmd as wspmd
+
+            def planar_fn(u_loc):
+                # functional input: the PLANAR global vector, rebuilt on
+                # every device from the gathered local chunks (from_dist is
+                # a pure reshape on the [n_dev, llen] gather)
+                ch = jax.lax.all_gather(u_loc, wspmd.AXIS)
+                return wspmd.from_dist(ch.reshape(-1), dist)
+
+        else:
+
+            def planar_fn(u_loc):
+                return u_loc
+
+        def step_fn(ctx_a, wa_a, lay_a, bc_rows_a, carry, bc_vals, axis_name):
             u, uo, uo2, kstep = carry
             if bdf2:
                 use2 = kstep >= 1  # step 0 of the run bootstraps with BDF1
@@ -1126,23 +1331,96 @@ class NavierStokesSolver:
             iters = jnp.int32(0)
             for k in range(K):
                 uu, res, it, _kc, _kr = body(
-                    ctx_a, wa_a, lay_a, uu, u_old_eff, bc_rows, bc_vals, dt_res,
+                    ctx_a, wa_a, lay_a, uu, u_old_eff, bc_rows_a, bc_vals,
+                    dt_res,
                     k < cfg.newton.min_iters,  # anti-freeze forced sweeps
+                    axis_name=axis_name,
                 )
                 iters = iters + it
-            f = functional(uu) if functional is not None else jnp.zeros((1,), self._dtype)
+            f = (
+                functional(planar_fn(uu))
+                if functional is not None
+                else jnp.zeros((1,), self._dtype)
+            )
             return (uu, uo_n, uo2_n, kstep + 1), (f, res, iters)
 
         # ctx/wa/lay MUST be runtime arguments, not closure constants: baked
         # multi-hundred-MB constants fault the device at scale (same rule as
-        # newton_iteration's pytree-argument design)
-        @jax.jit
-        def run_chunk(ctx_a, wa_a, lay_a, u, uo, uo2, kstep, bc_chunk):
-            (u, uo, uo2, kstep), ys = jax.lax.scan(
-                lambda c, x: step_fn(ctx_a, wa_a, lay_a, c, x),
-                (u, uo, uo2, kstep), bc_chunk,
+        # newton_iteration's pytree-argument design).  Sharded leaves are
+        # read from self at CALL time so forcing/config swaps take effect.
+        if dist is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.spmd import shard_map
+
+            sh = P(wspmd.AXIS)
+
+            def chunk_body(wa_a, lay_a, br, u, uo, uo2, kstep, bc_chunk):
+                (u, uo, uo2, kstep), ys = jax.lax.scan(
+                    lambda c, bc: step_fn(
+                        None, wa_a, lay_a, br[0], c, bc[0], wspmd.AXIS
+                    ),
+                    (u, uo, uo2, kstep), bc_chunk,
+                )
+                return u, uo, uo2, kstep, ys
+
+            wrapped = shard_map(
+                chunk_body,
+                self.spmd_mesh,
+                in_specs=(
+                    wspmd.wa_pspecs(self._wa_sharded),
+                    wspmd.layout_pspecs(self._lay_sharded),
+                    sh, sh, sh, sh, P(), P(None, wspmd.AXIS),
+                ),
+                out_specs=(sh, sh, sh, P(), (P(), P(), P())),
             )
-            return u, uo, uo2, kstep, ys
+            jit_chunk = jax.jit(wrapped)
+            bcl = jnp.asarray(self._bc_local)
+
+            def run_chunk(u, uo, uo2, kstep, bc_chunk):
+                return jit_chunk(
+                    self._wa_sharded, self._lay_sharded, bcl,
+                    u, uo, uo2, kstep, bc_chunk,
+                )
+
+        elif self.spmd_mesh is not None:
+            from jax.sharding import PartitionSpec as P
+
+            from ..parallel.spmd import context_pspecs, shard_map
+
+            bc_rows = self._bc_rows
+
+            def chunk_body(ctx_a, u, uo, uo2, kstep, bc_chunk):
+                (u, uo, uo2, kstep), ys = jax.lax.scan(
+                    lambda c, bc: step_fn(ctx_a, None, None, bc_rows, c, bc, None),
+                    (u, uo, uo2, kstep), bc_chunk,
+                )
+                return u, uo, uo2, kstep, ys
+
+            wrapped = shard_map(
+                chunk_body,
+                self.spmd_mesh,
+                in_specs=(context_pspecs(self.ctx), P(), P(), P(), P(), P()),
+                out_specs=(P(), P(), P(), P(), (P(), P(), P())),
+            )
+            jit_chunk = jax.jit(wrapped)
+
+            def run_chunk(u, uo, uo2, kstep, bc_chunk):
+                return jit_chunk(self.ctx, u, uo, uo2, kstep, bc_chunk)
+
+        else:
+            bc_rows = self._bc_rows
+
+            @jax.jit
+            def jit_chunk(ctx_a, wa_a, lay_a, u, uo, uo2, kstep, bc_chunk):
+                (u, uo, uo2, kstep), ys = jax.lax.scan(
+                    lambda c, x: step_fn(ctx_a, wa_a, lay_a, bc_rows, c, x, None),
+                    (u, uo, uo2, kstep), bc_chunk,
+                )
+                return u, uo, uo2, kstep, ys
+
+            def run_chunk(u, uo, uo2, kstep, bc_chunk):
+                return jit_chunk(ctx, wa, lay, u, uo, uo2, kstep, bc_chunk)
 
         u = self.solution
         uo = self.solution_old
@@ -1173,9 +1451,7 @@ class NavierStokesSolver:
         while done < n_steps:
             m = min(chunk, n_steps - done)
             bc_chunk = jnp.asarray(bc_sched[done : done + m])
-            u, uo, uo2, kstep, (f, r, it) = run_chunk(
-                ctx, wa, lay, u, uo, uo2, kstep, bc_chunk
-            )
+            u, uo, uo2, kstep, (f, r, it) = run_chunk(u, uo, uo2, kstep, bc_chunk)
             jax.block_until_ready(u)
             done += m
             self.time = t0 + done * cfg.dt
@@ -1211,28 +1487,38 @@ class NavierStokesSolver:
         """Re-evaluate a time-dependent forcing f(x, t) at the new time level
         and swap it into the jitted kernels' pytree inputs (ctx.f_q for the
         flat path, wa.r_const for the windowed path) — leaf swaps, so no
-        recompilation.  The reference's equivalent is ForcingTerm::set_time
-        (never exercised there: its forcing is constant, hpp:414-439)."""
+        recompilation.  Under SPMD the swapped leaves are re-placed with their
+        original shardings (r_const in the device-major distributed layout,
+        flat f_q over the padded morton cell order).  The reference's
+        equivalent is ForcingTerm::set_time (never exercised there: its
+        forcing is constant, hpp:414-439)."""
         import dataclasses
 
         from ..fem.geometry import cell_geometry
         from ..fem.quadrature import gauss_simplex
 
-        if self.spmd_mesh is not None or self._dist is not None:
-            raise NotImplementedError(
-                "time-dependent forcing under SPMD needs per-device f_q "
-                "resharding; run single-device or freeze the forcing"
-            )
         if not hasattr(self, "_f_qpts"):
             deg = self.cfg.quadrature_degree or (
                 2 * (self.dofs.element.velocity.degree + 1) - 1
             )
             geo = cell_geometry(self.mesh, gauss_simplex(self.mesh.dim, deg))
-            self._f_qpts = geo.qpts  # [nc, nq, dim]
+            self._f_qpts = geo.qpts  # [nc, nq, dim] natural cell order
         nc, nq, dim = self._f_qpts.shape
         f_q = np.asarray(self.forcing(self._f_qpts.reshape(-1, dim), t)).reshape(
             nc, nq, dim
         )
+        if self.spmd_mesh is not None and self._dist is None:
+            # flat SPMD: ctx.f_q lives in the padded morton cell order,
+            # sharded over the mesh — re-place the new values identically
+            f_pad = np.zeros(self.ctx.f_q.shape, dtype=f_q.dtype)
+            f_pad[:nc] = f_q[self._cell_order]
+            self.ctx = dataclasses.replace(
+                self.ctx,
+                f_q=jax.device_put(
+                    jnp.asarray(f_pad, self._dtype), self.ctx.f_q.sharding
+                ),
+            )
+            return
         self.ctx = dataclasses.replace(self.ctx, f_q=jnp.asarray(f_q, self._dtype))
         if self._wassembly is not None:
             from ..fem.windowed_assembly import compute_r_const
@@ -1241,6 +1527,18 @@ class NavierStokesSolver:
             self._wassembly = dataclasses.replace(
                 self._wassembly, r_const=jnp.asarray(r, self._dtype)
             )
+            if self._dist is not None:
+                # windowed SPMD: distribute + re-place the sharded leaf the
+                # call-time kernels read (self._wa_sharded)
+                from ..parallel.windowed_spmd import to_dist
+
+                r_d = jnp.asarray(to_dist(r, self._dist), self._dtype)
+                self._wa_sharded = dataclasses.replace(
+                    self._wa_sharded,
+                    r_const=jax.device_put(
+                        r_d, self._wa_sharded.r_const.sharding
+                    ),
+                )
 
     def _output(self, step: int, t: float):
         if not self.output_hooks:

@@ -84,10 +84,16 @@ class StokesSolver:
             "float32": jnp.float32,
             "float64": jnp.float64,
         }[cfg.dtype]
+        from .navier_stokes import _takes_time
+
+        self._forcing_time_dep = _takes_time(self.forcing)
+        self._forcing_t = 0.0
         self.ctx = build_context(
             self.dofs,
             neumann_tags=cfg.neumann_tags,
-            forcing=self.forcing,
+            forcing=(lambda pts: self.forcing(pts, 0.0))
+            if self._forcing_time_dep
+            else self.forcing,
             quadrature_degree=cfg.quadrature_degree,
             dtype=self._dtype,
         )
@@ -113,7 +119,7 @@ class StokesSolver:
 
         from ..la.preconditioners import block_diagonal, block_triangular, identity
 
-        def solve_fn(bc_vals):
+        def solve_fn(ctx, bc_vals):
             cell_mat, cell_pmass, rhs = assemble_stokes(
                 ctx, nu=cfg.nu, rho=cfg.rho, p_out=cfg.p_out
             )
@@ -168,6 +174,27 @@ class StokesSolver:
 
         self._solve_fn = jax.jit(solve_fn)
 
+    def _refresh_forcing(self, t: float):
+        """Re-evaluate a time-dependent forcing at t and swap ctx.f_q
+        (leaf swap; _solve_fn takes ctx as an argument, so no recompile)."""
+        import dataclasses
+
+        from ..fem.geometry import cell_geometry
+        from ..fem.quadrature import gauss_simplex
+
+        if not self._forcing_time_dep or t == self._forcing_t:
+            return
+        deg = self.cfg.quadrature_degree or (
+            2 * (self.dofs.element.velocity.degree + 1) - 1
+        )
+        geo = cell_geometry(self.mesh, gauss_simplex(self.mesh.dim, deg))
+        nc, nq, dim = geo.qpts.shape
+        f_q = np.asarray(self.forcing(geo.qpts.reshape(-1, dim), t)).reshape(
+            nc, nq, dim
+        )
+        self.ctx = dataclasses.replace(self.ctx, f_q=jnp.asarray(f_q, self._dtype))
+        self._forcing_t = t
+
     def solve(self, t: float = 0.0):
         """Assemble + solve (cpp:533-559); returns the solution vector
         (PLANAR layout, also under windowed SPMD)."""
@@ -182,8 +209,9 @@ class StokesSolver:
             return self.solution
         self.log.banner()
         self.log.print("Assembling the Stokes system")
+        self._refresh_forcing(t)
         bc_vals = jnp.asarray(self.dirichlet.values(t), dtype=self._dtype)
-        x, iters, res = self._solve_fn(bc_vals)
+        x, iters, res = self._solve_fn(self.ctx, bc_vals)
         self.log.print("Solving the Stokes system")
         self.log.gmres_iters(int(iters), system="stokes")
         self.solution = x

@@ -173,10 +173,12 @@ def wa_pspecs(wa: WindowedAssembly, axis: str = AXIS) -> WindowedAssembly:
         inv_mp=P(axis),  # [n_ps] = [nb * OWp], block-contiguous
         Kp_t=P(None, None, axis),  # [k_p, k_p8, ncd]
         diag_kp=P(axis),  # [n_ps], block-contiguous
-        # coarse correction: local rows keep their GLOBAL aggregate ids; the
-        # tiny dense inverse is replicated (its psum'd [m] input is global)
+        # coarse corrections: local rows keep their GLOBAL aggregate ids; the
+        # tiny dense inverses are replicated (their psum'd [m] input is global)
         agg_p=None if wa.agg_p is None else P(axis),
         coarse_inv=None if wa.coarse_inv is None else rep,
+        agg_v=None if wa.agg_v is None else P(axis),
+        coarse_inv_v=None if wa.coarse_inv_v is None else rep,
     )
 
 

@@ -311,6 +311,18 @@ def main():
     print(f"  Cd/Cl (reaction)         = {Fr[0]*scale:.5f} / {Fr[1]*scale:+.5f}")
     print(f"  dP = {p[ia]-p[ib]:+.5f}")
     print("  published 2D-1: Cd 5.5795  Cl +0.01062  dP +0.11752")
+    # machine-readable full-precision line (scripts/parity_cdcl.py consumes
+    # this for the <=1e-6 Cd/Cl parity artifact, BASELINE north star)
+    import json as _json
+
+    print("ORACLE_JSON " + _json.dumps({
+        "refine": refine, "um": um, "n_unknowns": int(ntot),
+        "cd_reaction": float(Fr[0] * scale), "cl_reaction": float(Fr[1] * scale),
+        "cd_gradient": float(Fg[0] * scale), "cl_gradient": float(Fg[1] * scale),
+        "cd_symmetric": float(Fs[0] * scale), "cl_symmetric": float(Fs[1] * scale),
+        "dp": float(p[ia] - p[ib]),
+        "newton_final_residual": float(nr),
+    }))
     out = sys.argv[3] if len(sys.argv) > 3 else None
     if out:
         np.savez(

@@ -1,0 +1,140 @@
+"""Cd/Cl/dP parity <= 1e-6 vs the independent f64 oracle (BASELINE north star).
+
+Both solvers run FLOAT64 on CPU, on the IDENTICAL mesh (dfg_common.
+load_dfg_mesh) with the identical discretization — Taylor-Hood P2/P1, the
+degree-5 7-point triangle rule (both rules are exact for every degree-<=5
+integrand of the affine-mapped weak form, so the two DISCRETE systems are the
+same up to f64 roundoff) — and drive Newton to machine-level residuals.  Any
+remaining Cd/Cl/dP difference is therefore pure SOLVER error, which is what
+the <=1e-6 target bounds:
+
+  * oracle (scripts/oracle_steady_ns.py): scipy sparse LU, exact Newton to
+    |R| < 1e-11 — shares nothing with the framework but the mesh loader.
+  * framework: solve_steady (Newton + FGMRES/Cahouet-Chabard on the windowed
+    operator's CPU reference path) at krylov rel_tol 1e-10.
+
+Writes examples/artifacts/parity_cdcl_refine{R}.json.
+
+Usage: python scripts/parity_cdcl.py [refine=0]
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, "/root/repo")
+sys.path.insert(0, "/root/repo/examples")
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np
+
+
+def run_oracle(refine):
+    t0 = time.time()
+    out = subprocess.run(
+        [sys.executable, "/root/repo/scripts/oracle_steady_ns.py", str(refine)],
+        capture_output=True, text=True, check=True, cwd="/root/repo",
+    )
+    line = [ln for ln in out.stdout.splitlines() if ln.startswith("ORACLE_JSON ")]
+    assert line, out.stdout[-2000:]
+    d = json.loads(line[-1][len("ORACLE_JSON "):])
+    d["wall_s"] = round(time.time() - t0, 1)
+    return d
+
+
+def run_framework(refine):
+    import navier_stokes_tpu as ns
+    from navier_stokes_tpu.models.functionals import BoundaryForce, BoundaryReaction
+
+    from dfg_common import D, H, load_dfg_mesh
+
+    u_mean = 0.2
+    u_m = 1.5 * u_mean
+
+    def inflow(x, t=0.0):
+        v = np.zeros_like(x)
+        y = x[:, 1] + 0.2
+        v[:, 0] = u_m * 4.0 * y * (H - y) / H**2
+        return v
+
+    cfg = ns.SolverConfig(nu=0.001, rho=1.0, p_out=0.0)
+    cfg.dtype = "float64"
+    cfg.convection_form = "standard"
+    cfg.include_continuity_residual = True
+    cfg.jacobian_mass_rho = True
+    cfg.krylov.matvec = "windowed"
+    cfg.krylov.preconditioner = "cahouet_chabard"
+    cfg.krylov.rel_tol = 1e-10  # near-exact tangent solves
+    cfg.krylov.max_iters = 3000
+    cfg.krylov.restart = 120
+
+    t0 = time.time()
+    s = ns.NavierStokesSolver(load_dfg_mesh(refine), cfg,
+                              log=ns.RunLog(verbose=False), inlet=inflow)
+    iters, upd = s.solve_steady(tol=1e-14, max_iters=20)
+    sol = s.solution
+
+    traction = BoundaryForce(s.dofs, tags=(13,), nu=cfg.nu, rho=cfg.rho)
+    cd_t, cl_t = traction.coefficients(sol, u_mean=u_mean, length=D)
+    reaction = BoundaryReaction(s, tags=(13,))
+    cd_r, cl_r = reaction.coefficients(sol, u_mean=u_mean, length=D)
+    p = s.pressure(real_only=True)
+    pc = s.dofs.p_coords
+    if s.dofs.p_mask is not None:
+        pc = pc[s.dofs.p_mask]
+    ia = int(np.argmin(np.linalg.norm(pc - np.array([-0.05, 0.0]), axis=1)))
+    ib = int(np.argmin(np.linalg.norm(pc - np.array([0.05, 0.0]), axis=1)))
+    recs = [r for r in s.log.records if r.get("event") == "steady_newton"]
+    return {
+        "refine": refine,
+        "n_dofs": int(s.dofs.n_total),
+        "cd_reaction": float(cd_r), "cl_reaction": float(cl_r),
+        "cd_traction": float(cd_t), "cl_traction": float(cl_t),
+        "dp": float(p[ia] - p[ib]),
+        "newton_iters": iters,
+        "final_update": upd,
+        "final_res_norm": recs[-1]["res_norm"] if recs else None,
+        "gmres_iters": [r["gmres_iters"] for r in recs],
+        "wall_s": round(time.time() - t0, 1),
+    }
+
+
+def main():
+    refine = int(sys.argv[1]) if len(sys.argv) > 1 else 0
+    fw = run_framework(refine)
+    print("framework:", json.dumps(fw), flush=True)
+    orc = run_oracle(refine)
+    print("oracle:   ", json.dumps(orc), flush=True)
+
+    deltas = {
+        "cd_reaction": abs(fw["cd_reaction"] - orc["cd_reaction"]),
+        "cl_reaction": abs(fw["cl_reaction"] - orc["cl_reaction"]),
+        "dp": abs(fw["dp"] - orc["dp"]),
+    }
+    art = {
+        "description": (
+            "Cd/Cl/dP parity, framework f64 steady solve vs independent f64 "
+            "oracle on the identical mesh/discretization (DFG 2D-1, Re=20). "
+            "North-star target: |delta| <= 1e-6 (BASELINE.json)."
+        ),
+        "refine": refine,
+        "framework": fw,
+        "oracle": orc,
+        "abs_deltas": deltas,
+        "pass_1e6": bool(max(deltas.values()) <= 1e-6),
+    }
+    path = f"/root/repo/examples/artifacts/parity_cdcl_refine{refine}.json"
+    with open(path, "w") as f:
+        json.dump(art, f, indent=1)
+    print(json.dumps({"deltas": deltas, "pass_1e6": art["pass_1e6"]}))
+    print("wrote", path)
+
+
+if __name__ == "__main__":
+    main()

@@ -69,10 +69,16 @@ def main():
     bc_diag = diag0.at[bc_rows].get(mode="fill", fill_value=1.0)
 
     from navier_stokes_tpu.la.cg import cg
-    from navier_stokes_tpu.la.preconditioners import jacobi
+    from navier_stokes_tpu.la.preconditioners import coarse_correction, jacobi
     passes = cfg.krylov.precond_passes
     n_u = lay.dim * lay.n_vs
     pA = jacobi(diag0[:n_u].at[bc_rows].set(bc_diag, mode="drop"))
+    if wa.coarse_inv_v is not None:  # mirror production: + velocity coarse
+        _jac_u = pA
+        _coarse_v = coarse_correction(
+            wa.agg_v, wa.coarse_inv_v, wa.coarse_agg_size_v, ncomp=lay.dim
+        )
+        pA = lambda r: _jac_u(r) + _coarse_v(r)
 
     # every stage takes its big buffers as jit ARGUMENTS (baked closure
     # constants are re-staged per launch on the axon backend and fault at
@@ -115,27 +121,15 @@ def main():
                                      out_spaces="p", passes=passes)
 
     def _mk_pkp(wa_a):
-        # mirrors the PRODUCTION single-device coarse apply (reshape Z/Zt,
-        # models/navier_stokes.py _make_windowed_preconditioner) — the
-        # segment-sum formulation lowers to a ~3 ms TPU scatter and would
-        # misattribute the kp stage cost
+        # the SHARED production coarse apply (la/preconditioners.
+        # coarse_correction) — one implementation for the solver and this
+        # profiler, so the stage attribution cannot desynchronize (ADVICE r2)
         pj_a = jacobi(wa_a.diag_kp)
         if wa_a.coarse_inv is None:
             return pj_a, pj_a
-        m_c = wa_a.coarse_inv.shape[0]
-        sa = wa_a.coarse_agg_size
-        nps_l = wa_a.diag_kp.shape[0]
-        npad = m_c * sa - nps_l
-        hole = wa_a.agg_p >= m_c
-
-        def coarse_a(rp):
-            rm = jnp.where(hole, 0.0, rp).astype(wa_a.coarse_inv.dtype)
-            seg = jnp.pad(rm, (0, npad)).reshape(m_c, sa).sum(axis=1)
-            y = jnp.dot(wa_a.coarse_inv, seg,
-                        precision=jax.lax.Precision.HIGHEST)
-            corr = jnp.broadcast_to(y[:, None], (m_c, sa)).reshape(-1)[:nps_l]
-            return jnp.where(hole, 0.0, corr).astype(rp.dtype)
-
+        coarse_a = coarse_correction(
+            wa_a.agg_p, wa_a.coarse_inv, wa_a.coarse_agg_size
+        )
         return coarse_a, lambda rp: pj_a(rp) + coarse_a(rp)
 
     def st_kp_cg(lay_a, _A, wa_a, v):

@@ -26,6 +26,12 @@ import pytest  # noqa: E402
 REFERENCE_MESH_DIR = "/root/reference/mesh"
 
 
+def pytest_configure(config):
+    config.addinivalue_line(
+        "markers", "slow: long-running test (full solves / large meshes)"
+    )
+
+
 @pytest.fixture(scope="session")
 def ref_mesh_dir():
     if not os.path.isdir(REFERENCE_MESH_DIR):

@@ -97,3 +97,32 @@ def test_sharded_with_block_preconditioner():
     ref = NavierStokesSolver(unit_square(3), cfg, log=RunLog(verbose=False))
     sol_ref = np.asarray(ref.solve())
     np.testing.assert_allclose(sol, sol_ref, atol=1e-6)
+
+
+def test_flat_spmd_time_dep_forcing_and_stokes_guess():
+    """Flat-SPMD composition (VERDICT r2 item 3): time-dependent forcing
+    re-places the padded/sharded f_q, and the Stokes initial guess runs (the
+    flat path replicates vectors, so the single-device Stokes solution is
+    layout-identical)."""
+
+    def forcing(pts, t):
+        out = np.zeros_like(pts)
+        out[:, 0] = t * pts[:, 1]
+        return out
+
+    def run(n_devices):
+        cfg = square_cfg(T=0.1)
+        cfg.initial_guess = "stokes"
+        cfg.krylov.matvec = "flat"
+        cfg.krylov.preconditioner = "block_triangular"
+        s = NavierStokesSolver(
+            unit_square(4), cfg, log=RunLog(verbose=False),
+            n_devices=n_devices, forcing=forcing,
+        )
+        s.solve()
+        assert s._matvec == "flat" and s._forcing_time_dep
+        return np.asarray(s._planar(s.solution))
+
+    u1 = run(None)
+    u2 = run(4)
+    np.testing.assert_allclose(u1, u2, rtol=0, atol=1e-8)

@@ -264,3 +264,92 @@ def test_sharded_matvec_collective_volume_is_o_halo():
     )
     # ... and at the larger size it is a small fraction of a device slice
     assert total2 < dofs2.n_total // 2, (total2, dofs2.n_total)
+
+
+def test_scanned_loop_spmd_matches_single():
+    """The device-resident scanned time loop under windowed SPMD (VERDICT r2
+    item 3): multi-step lax.scan inside shard_map, pre-localized Dirichlet
+    schedule, functional on the all-gathered planar vector — must match the
+    single-device scanned loop to 1e-8."""
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    def functional(u):
+        return jnp.stack([jnp.linalg.norm(u), u.sum()])
+
+    def run(n_devices):
+        cfg = SolverConfig(
+            inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+            nu=0.04, p_out=10.0, dt=0.05, T=0.25,
+        )
+        cfg.time_scheme = "bdf2"
+        cfg.krylov.max_iters = 500
+        cfg.krylov.matvec = "windowed"
+        cfg.krylov.cells_per_block = 16
+        cfg.krylov.preconditioner = "cahouet_chabard"
+        s = NavierStokesSolver(
+            unit_square(4), cfg, log=RunLog(verbose=False), n_devices=n_devices
+        )
+        out = s.solve_scanned(functional=functional, newton_iters=3, chunk=2)
+        assert s._matvec == "windowed"
+        return s, out
+
+    s1, out1 = run(None)
+    s2, out2 = run(2)
+    assert s2._dist is not None, "2-device run must take the windowed SPMD path"
+    # the functional (norm/sum over REAL dofs; holes are zero) is
+    # numbering-invariant: per-step trajectories must agree
+    np.testing.assert_allclose(
+        out1["functional"], out2["functional"], rtol=0, atol=1e-8
+    )
+    f1 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s1.velocity_coords(real_only=True), s1.velocity(real_only=True))}
+    f2 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s2.velocity_coords(real_only=True), s2.velocity(real_only=True))}
+    err = max(np.max(np.abs(f1[k] - f2[k])) for k in f1)
+    assert err < 1e-8, err
+
+
+def test_time_dep_forcing_spmd_matches_single():
+    """Time-dependent forcing under windowed SPMD (VERDICT r2 item 3): the
+    per-step r_const swap must land in the sharded pytree the call-time
+    kernels read."""
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    def forcing(pts, t):
+        out = np.zeros_like(pts)
+        out[:, 0] = np.sin(2 * np.pi * t) * pts[:, 1]
+        out[:, 1] = np.cos(pts[:, 0]) * t
+        return out
+
+    def run(n_devices):
+        cfg = SolverConfig(
+            inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+            nu=0.04, p_out=10.0, dt=0.05, T=0.15,
+        )
+        cfg.krylov.max_iters = 500
+        cfg.krylov.matvec = "windowed"
+        cfg.krylov.cells_per_block = 16
+        cfg.krylov.preconditioner = "cahouet_chabard"
+        s = NavierStokesSolver(
+            unit_square(4), cfg, log=RunLog(verbose=False),
+            n_devices=n_devices, forcing=forcing,
+        )
+        s.solve()
+        assert s._forcing_time_dep
+        return s
+
+    s1 = run(None)
+    s2 = run(2)
+    assert s2._dist is not None
+    f1 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s1.velocity_coords(real_only=True), s1.velocity(real_only=True))}
+    f2 = {tuple(np.round(c, 10)): v
+          for c, v in zip(s2.velocity_coords(real_only=True), s2.velocity(real_only=True))}
+    err = max(np.max(np.abs(f1[k] - f2[k])) for k in f1)
+    assert err < 1e-8, err
+    # the forcing must actually matter (guard against a silently-zero f)
+    assert float(np.linalg.norm(s1.velocity(real_only=True))) > 1e-3
