@@ -32,6 +32,8 @@ DTYPE = os.environ.get("BENCH_DTYPE", "float32")
 REPS = int(os.environ.get("BENCH_REPS", "20"))
 PRECOND = os.environ.get("BENCH_PRECOND", "cahouet_chabard")
 BIG = os.environ.get("BENCH_BIG", "1") != "0"  # extra >=1M-DoF Newton step
+HUGE = os.environ.get("BENCH_HUGE", "1") != "0"  # extra >=5M-DoF Newton step
+BENCH_3D = os.environ.get("BENCH_3D", "1") != "0"  # extra 3D (P2/P1 tet) leg
 BASELINE_ASSEMBLY_MDOFS = 0.5  # deal.II single-core estimate (see docstring)
 
 
@@ -263,48 +265,90 @@ def main():
         "baseline_note": "deal.II 1-core assembly est. 0.5 MDoF/s (no published numbers)",
     }
 
-    if BIG:
-        # the BASELINE.json "GMRES ms per Newton step at 1M DoF" metric:
-        # mesh_poli (DFG channel) refined 2x -> ~1.55M DoF, one chip
+    def newton_leg(tag, mesh_obj, cfg_leg):
+        """One warmed + one timed forced Newton step on a separate problem;
+        records n_dofs/newton_step_ms/gmres_iters/converged under _{tag}.
+        Never fails the headline metric."""
         try:
-            del solver
-            big_path = "/root/reference/mesh/mesh_poli.msh"
-            big = refine_uniform(
-                read_msh(big_path) if os.path.exists(big_path)
-                else rectangle(160, 80, 0, 7, 0, 4),
-                2,
-            )
-            import dataclasses as _dc
-
-            # bound the big leg's single device execution: an uncapped
-            # 2000-iteration runaway at 1.55M DoF exceeds the axon execution
-            # watchdog and crashes the TPU worker (observed); a healthy solve
-            # here takes ~20 iterations
-            cfg_big = _dc.replace(
-                cfg, krylov=_dc.replace(cfg.krylov, max_iters=300)
-            )
-            s2 = NavierStokesSolver(big, cfg_big, log=RunLog(verbose=False))
+            s2 = NavierStokesSolver(mesh_obj, cfg_leg, log=RunLog(verbose=False))
             s2.setup()
             n2 = s2.dofs.n_total
             uo2 = s2.solution_old
-            bv2 = jnp.asarray(s2.dirichlet.values(cfg.dt), dtype=uo2.dtype)
+            bv2 = jnp.asarray(s2.dirichlet.values(cfg_leg.dt), dtype=uo2.dtype)
 
-            def u_big():  # distinct state per launch (axon repeat-cache)
+            def u_leg():  # distinct state per launch (axon repeat-cache)
                 return jnp.asarray(
                     0.05 * rng.standard_normal(n2), dtype=uo2.dtype
                 )
 
-            sync(s2._newton_iteration(u_big(), uo2, bv2, cfg.dt, True))
+            sync(s2._newton_iteration(u_leg(), uo2, bv2, cfg_leg.dt, True))
             t0 = time.perf_counter()
-            out2 = s2._newton_iteration(u_big(), uo2, bv2, cfg.dt, True)
+            out2 = s2._newton_iteration(u_leg(), uo2, bv2, cfg_leg.dt, True)
             sync(out2)
-            extra["n_dofs_big"] = n2
-            extra["newton_step_ms_big"] = round((time.perf_counter() - t0) * 1e3, 3)
-            extra["gmres_iters_big"] = int(out2[2])
-            extra["gmres_converged_big"] = bool(out2[3])
-            extra["matvec_big"] = s2._matvec
-        except Exception as e:  # never fail the headline metric
-            extra["big_error"] = f"{type(e).__name__}: {e}"
+            extra[f"n_dofs_{tag}"] = n2
+            extra[f"newton_step_ms_{tag}"] = round(
+                (time.perf_counter() - t0) * 1e3, 3
+            )
+            extra[f"gmres_iters_{tag}"] = int(out2[2])
+            extra[f"gmres_converged_{tag}"] = bool(out2[3])
+            extra[f"matvec_{tag}"] = s2._matvec
+            print(
+                f"# {tag} {extra[f'newton_step_ms_{tag}']:.0f} ms "
+                f"iters={int(out2[2])} n={n2}",
+                file=sys.stderr, flush=True,
+            )
+        except Exception as e:
+            extra[f"{tag}_error"] = f"{type(e).__name__}: {e}"
+
+    import dataclasses as _dc
+
+    # bound the extra legs' single-device execution: an uncapped
+    # 2000-iteration runaway at >=1.5M DoF exceeds the axon execution
+    # watchdog and crashes the TPU worker (observed); healthy solves here
+    # take ~20 iterations
+    cfg_leg = _dc.replace(cfg, krylov=_dc.replace(cfg.krylov, max_iters=300))
+
+    if BIG or HUGE:
+        del solver
+        big_path = "/root/reference/mesh/mesh_poli.msh"
+        big_base = (
+            read_msh(big_path) if os.path.exists(big_path)
+            else rectangle(160, 80, 0, 7, 0, 4)
+        )
+    if BIG:
+        # the BASELINE.json "GMRES ms per Newton step at 1M DoF" metric:
+        # mesh_poli (DFG channel) refined 2x -> ~1.78M DoF, one chip
+        newton_leg("big", refine_uniform(big_base, 2), cfg_leg)
+    if HUGE:
+        # the h-robustness leg (VERDICT r2 #1): ~7.1M DoF, one chip; the
+        # outer FGMRES count must stay ~flat vs the 543k/1.78M legs
+        newton_leg("huge", refine_uniform(big_base, 3), cfg_leg)
+    if BENCH_3D:
+        # 3D P2/P1 tets through the windowed + Cahouet-Chabard path
+        # (VERDICT r2 #7): the shipped backward-step mesh refined to >=1M DoF
+        try:
+            step_name = os.environ.get("BENCH_3D_MESH", "mesh-step-5.msh")
+            step_path = f"/root/reference/mesh/{step_name}"
+            if os.path.exists(step_path):
+                m3 = read_msh(step_path)
+                tags = list(m3.tags)
+            else:
+                from navier_stokes_tpu.mesh.generate import box
+
+                m3 = box(8, 8, 8)
+                tags = [0, 1, 2, 3, 4, 5]
+            # step-5 refine=2 -> 3.75M DoF (858k tets); step-3 refine=2 ->
+            # 0.98M DoF — the smaller fallback if memory is tight
+            m3 = refine_uniform(m3, int(os.environ.get("BENCH_3D_REFINE", "2")))
+            cfg3 = _dc.replace(
+                cfg_leg,
+                inlet_tags=(tags[0],),
+                neumann_tags=tuple(tags[1:2]),
+                wall_tags=tuple(tags[2:]),
+            )
+            newton_leg("3d", m3, cfg3)
+        except Exception as e:
+            extra["3d_error"] = f"{type(e).__name__}: {e}"
 
     result = {
         "metric": "ns_assembly_throughput",

@@ -96,7 +96,11 @@ def main():
     # number grows as h^-2, so the refine=0 sweet spot (4) stalls the outer
     # FGMRES against its cap at refine>=1
     cfg.krylov.cc_iters_a00 = int(os.environ.get("DFG_CC_A00", "2" if refine == 0 else "4"))
-    cfg.krylov.cc_iters_ap = int(os.environ.get("DFG_CC_AP", "4" if refine == 0 else "10"))
+    # refine>=2 runs without the Kp coarse (see cc_coarse_agg below), so the
+    # Jacobi-CG sweep length tracks Kp's h^-2 condition growth instead
+    cfg.krylov.cc_iters_ap = int(
+        os.environ.get("DFG_CC_AP", {0: "4", 1: "10"}.get(refine, "24"))
+    )
     # refine>=1 at developed flow: convection ~ mass in A00 (u*dt/h ~ 1), so
     # the fixed CG micro-sweep emits divergent directions and the outer
     # FGMRES saturates its cap -> under-converged Newton updates -> blowup
@@ -106,11 +110,16 @@ def main():
         "DFG_A00_SOLVER", "cg" if refine == 0 else "gmres"
     )
     # two-level coarse correction on the Kp sweeps (KrylovConfig.
-    # cc_coarse_agg): makes the inner-sweep quality h-independent, so the
-    # per-refine DFG_CC_AP escalation (4 -> 16 -> 24) is no longer needed;
-    # measured at refine=0: 5.2x fewer outer FGMRES iterations over the
-    # impulsive-start steps vs plain Jacobi at equal cc_iters_ap
-    cfg.krylov.cc_coarse_agg = int(os.environ.get("DFG_CC_COARSE", "128"))
+    # cc_coarse_agg): at refine<=1 it makes the inner-sweep quality
+    # h-independent (measured at refine=0: 5.2x fewer outer FGMRES
+    # iterations vs plain Jacobi at equal cc_iters_ap).  At refine>=2 the
+    # weakly-pinned Kp's coarse matrix develops a near-null mode whose
+    # amplified correction STALLS the f32 outer solve outright (see the
+    # KrylovConfig.cc_coarse_agg note + scripts/sweep_hrobust.py) — plain
+    # Jacobi-CG with a longer sweep is the validated configuration there.
+    cfg.krylov.cc_coarse_agg = int(
+        os.environ.get("DFG_CC_COARSE", "128" if refine <= 1 else "0")
+    )
 
     log = ns.RunLog(verbose=False)
     solver = ns.NavierStokesSolver(mesh, cfg, log=log, inlet=inflow)

@@ -56,6 +56,14 @@ class KrylovConfig:
     # ~2x faster selection matmuls) is safe; the outer operator keeps
     # matvec_passes.
     precond_passes: int = 1
+    # storage dtype of the preconditioner's sliced operator blocks (A00/B/Kp)
+    # on the f32 path: "bfloat16" halves their HBM reads — the dominant
+    # per-outer-iteration cost (the CC apply streams the A00 block per inner
+    # CG iteration).  The kernel widens rows to f32 in VMEM, so accumulation
+    # precision is unchanged; only the stored block values are rounded
+    # (~3e-3 relative — M only steers FGMRES).  "float32" restores exact
+    # blocks.  Ignored on the f64 (CPU-parity) path.
+    precond_block_dtype: str = "bfloat16"
     inner_tol: float = 1e-2  # hpp:542,599
     inner_max_iters: int = 2000  # hpp:598
     # cahouet_chabard inner sweep lengths (fixed-iteration coarse-corrected
@@ -68,16 +76,36 @@ class KrylovConfig:
     # (64) DEGRADE (211 outer iterations at 1.78M).
     cc_iters_a00: int = 2
     cc_iters_ap: int = 8
+    # inner-sweep preconditioner composition (when the matching coarse space
+    # is built): "additive" = D^-1 + Z Kc^-1 Zt (no extra matvecs);
+    # "vcycle" = symmetric multiplicative two-level V(1,1) — damped-Jacobi
+    # smooth, coarse-correct the residual, smooth again (two extra bf16
+    # block matvecs per application, but a much stronger contraction: the
+    # additive form leaves the mid-range modes to the inner CG, whose
+    # fixed iteration count is exactly what degrades as the mesh refines)
+    cc_cycle_a00: str = "additive"
+    cc_cycle_ap: str = "additive"
+    # damped-Jacobi weight of the vcycle smoother (lambda_max(D^-1 A) < ~2
+    # for FEM mass/stiffness blocks, so 0.7 keeps the smoother convergent)
+    cc_vcycle_omega: float = 0.7
     # two-level coarse correction for the cahouet_chabard pressure-Laplacian
     # sweep: aggregate this many consecutive pressure dofs (SFC/blocked
     # numbering => spatially compact aggregates) into one piecewise-constant
     # coarse basis function; the coarse Galerkin matrix Zt Kp Z is inverted
     # densely ONCE on host and applied per CG iteration as one tiny MXU
-    # matmul (M^-1 = diag^-1 + Z Kc^-1 Zt, SPD).  Fixed dofs-per-aggregate
-    # makes the preconditioned condition number ~O(agg) independent of h, so
-    # cc_iters_ap no longer needs the h^-2 scaling (16 at 388k, 24 at 1.5M
-    # DoF) that plain Jacobi-CG required.  0 disables (pure Jacobi).
-    cc_coarse_agg: int = 128
+    # matmul (M^-1 = diag^-1 + Z Kc^-1 Zt, SPD).  0 disables (pure Jacobi).
+    #
+    # DEFAULT 0 (r3): on weakly outflow-pinned meshes the refined Kp's
+    # coarse matrix develops a near-null mode whose Galerkin inverse
+    # amplifies ~5e3x over the Jacobi term; the f32 outer FGMRES then STALLS
+    # outright at >=1.78M DoF in every regime (measured on mesh_poli
+    # refine=2: rel residual stuck at 0.18-0.96 after 300 iterations with
+    # agg=128 / cond caps 1e2-1e4, vs CONVERGED in 18-19 iterations with the
+    # coarse term off — scripts/sweep_hrobust.py).  Plain Jacobi-CG Kp
+    # sweeps + the A00 velocity coarse space keep the outer count flat
+    # (543k: 17, 1.78M: 18).  Enable (e.g. 128) only for small-dt runs on
+    # meshes it is validated on (DFG refine<=1: 5.2x fewer outer iterations).
+    cc_coarse_agg: int = 0
     # two-level coarse correction for the A00 (velocity) inner sweeps: one
     # SCALAR coarse space shared by the velocity components, built from the
     # constant tangent block (mass/dt + viscous) with Dirichlet dofs

@@ -352,14 +352,27 @@ class NavierStokesSolver:
             return identity()
         from ..la.cg import cg
         from ..la.gmres import _norm
-        from ..la.preconditioners import coarse_correction, jacobi
+        from ..la.preconditioners import (
+            coarse_correction, jacobi, two_level_vcycle)
         from ..ops.windowed import slice_block, windowed_matvec, windowed_matvec_block
 
         n = lay.dim * lay.n_vs + lay.n_ps  # local length under SPMD
         n_u = lay.dim * lay.n_vs
         # preconditioner matvecs run at reduced precision (default pure bf16):
-        # M only steers FGMRES, the outer operator keeps matvec_passes
+        # M only steers FGMRES, the outer operator keeps matvec_passes.
+        # The sliced blocks are also STORED bf16 (precond_block_dtype) — the
+        # A00 stream per inner CG iteration is the dominant HBM traffic of
+        # the whole outer iteration; halving it is the roofline lever
+        # (VERDICT r2 #2).  The kernel widens rows to f32 in VMEM.
         passes = cfg.krylov.precond_passes
+        bdt = (
+            jnp.bfloat16
+            if (
+                cfg.krylov.precond_block_dtype == "bfloat16"
+                and A_t.dtype == jnp.float32
+            )
+            else A_t.dtype
+        )
         inv_mp = wa.inv_mp
 
         # Jacobi diagonal of A00 with symmetric-BC replacement (sentinel
@@ -372,6 +385,7 @@ class NavierStokesSolver:
         if bc_rows.shape[0]:
             diag_u = diag_u.at[bc_rows].set(bc_diag, mode="drop")
         pA = jacobi(diag_u)
+        coarse_v = None
         if wa.coarse_inv_v is not None:
             jac_u = pA
             coarse_v = coarse_correction(
@@ -381,8 +395,9 @@ class NavierStokesSolver:
             pA = lambda r: jac_u(r) + coarse_v(r)
 
         if kind == "cahouet_chabard":
-            A00_blk = slice_block(lay, A_t, "v", "v")
-            B_blk = slice_block(lay, A_t, "v", "p")
+            A00_blk = slice_block(lay, A_t, "v", "v").astype(bdt)
+            B_blk = slice_block(lay, A_t, "v", "p").astype(bdt)
+            Kp_blk = wa.Kp_t.astype(bdt)
 
             def A00_mv(v):
                 if bc_rows.shape[0]:
@@ -402,8 +417,17 @@ class NavierStokesSolver:
 
             def Kp_mv(p):
                 return windowed_matvec_block(
-                    lay, wa.Kp_t, p, in_spaces="p", out_spaces="p",
+                    lay, Kp_blk, p, in_spaces="p", out_spaces="p",
                     passes=passes, axis_name=axis_name,
+                )
+
+            # multiplicative V(1,1) composition of the A00 sweep's smoother
+            # + coarse correction (KrylovConfig.cc_cycle_a00): two extra
+            # bf16 A00 matvecs per application for a per-CG-iteration
+            # contraction that stays flat as the mesh refines
+            if coarse_v is not None and cfg.krylov.cc_cycle_a00 == "vcycle":
+                pA = two_level_vcycle(
+                    A00_bc, diag_u, coarse_v, omega=cfg.krylov.cc_vcycle_omega
                 )
 
             pKp = jacobi(wa.diag_kp)
@@ -419,6 +443,11 @@ class NavierStokesSolver:
                     ncomp=1, axis_name=axis_name,
                 )
                 pKp = lambda r: jac_kp(r) + coarse_p(r)
+                if cfg.krylov.cc_cycle_ap == "vcycle":
+                    pKp = two_level_vcycle(
+                        Kp_mv, wa.diag_kp, coarse_p,
+                        omega=cfg.krylov.cc_vcycle_omega,
+                    )
             if mass_coef is None:
                 # time-stepping tangent: A00 ~ coef/dt_tangent * M => S^-1's
                 # Laplacian term carries the same coefficient (BDF2 folds its

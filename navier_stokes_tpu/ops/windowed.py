@@ -622,6 +622,7 @@ def windowed_matvec_block(
     """
     assert in_spaces in ("v", "p", "vp") and out_spaces in ("v", "p", "vp")
     if in_spaces == "vp" and out_spaces == "vp":
+        assert A_sub.dtype == x.dtype, "full-system matvec needs matching dtypes"
         return windowed_matvec(
             lay, A_sub, x, passes=passes, axis_name=axis_name, interpret=interpret
         )
@@ -677,7 +678,9 @@ def _block_reference(lay, A_sub, x, in_spaces, out_spaces, axis_name):
     X = _gather_reference(lay, xf, axis_name)  # [nli, ncd]
     jsl = {"v": slice(0, nvl), "p": slice(nvl, lay.nl), "vp": slice(0, lay.nl)}
     n_in = jsl[in_spaces].stop - jsl[in_spaces].start
-    yl = jnp.einsum("jis,js->is", A_sub, X[jsl[in_spaces]])  # [n_out_pad, ncd]
+    # A_sub may be stored narrower than x (bf16 precond blocks); widen like
+    # the kernel does on read
+    yl = jnp.einsum("jis,js->is", A_sub.astype(x.dtype), X[jsl[in_spaces]])
     # place out rows into the full local layout for the shared scatter
     R = jnp.zeros((lay.nli, lay.ncd), dtype=yl.dtype)
     osl = jsl[out_spaces]
@@ -709,7 +712,10 @@ def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
     RVv, RVp, RWv, RWp = lay.RVv, lay.RVp, lay.RWv, lay.RWp
     kvp = lay.loc_v_hi.shape[1]
     kpp = lay.loc_p_hi.shape[1]
-    dtype = A_sub.dtype
+    # compute dtype follows x; A_sub may be stored NARROWER (bf16 blocks on
+    # the f32 path: KrylovConfig.precond_block_dtype halves the dominant
+    # preconditioner HBM traffic) — its rows are widened on read in VMEM
+    dtype = xw[0].dtype
     mdt = jnp.bfloat16 if dtype == jnp.float32 else dtype
     in_v, in_p = "v" in in_spaces, "p" in in_spaces
     out_v, out_p = "v" in out_spaces, "p" in out_spaces
@@ -789,7 +795,8 @@ def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
             T_v = _dot(jnp.concatenate(parts, axis=0), OHL_v, (((1,), (0,)), ((), ())))
             for l in range(k_v):
                 for comp in range(dim):
-                    yl = yl + A_ref[comp * k_v + l] * xval(T_v, l, comp, RVv, ohh_v[l])
+                    Arow = A_ref[comp * k_v + l].astype(dtype)
+                    yl = yl + Arow * xval(T_v, l, comp, RVv, ohh_v[l])
         if in_p:
             xp_ref = x_refs[dim if in_v else 0]
             T_p = _dot(
@@ -798,7 +805,8 @@ def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
             )
             row0 = nvl if in_v else 0
             for l in range(k_p):
-                yl = yl + A_ref[row0 + l] * xval(T_p, l, 0, RVp, ohh_p[l])
+                Arow = A_ref[row0 + l].astype(dtype)
+                yl = yl + Arow * xval(T_p, l, 0, RVp, ohh_p[l])
 
         # ---- scatter outputs ----------------------------------------------
         sparts = splitP(yl)

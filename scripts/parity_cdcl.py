@@ -70,14 +70,18 @@ def run_framework(refine):
     cfg.jacobian_mass_rho = True
     cfg.krylov.matvec = "windowed"
     cfg.krylov.preconditioner = "cahouet_chabard"
-    cfg.krylov.rel_tol = 1e-10  # near-exact tangent solves
-    cfg.krylov.max_iters = 3000
-    cfg.krylov.restart = 120
+    # tangent tolerance budget: |dCd| <= 1e-6 at Cd ~ 5.58 needs solution
+    # error ~1e-8 relative; Newton to ||R|| <= 1e-12 with rel-tol-1e-8
+    # tangents reaches that (the final Newton updates are O(1e-9)), and is
+    # ~4x cheaper than the 1e-10/1e-14 setting that exceeded its wall budget
+    cfg.krylov.rel_tol = 1e-8
+    cfg.krylov.max_iters = 2000
+    cfg.krylov.restart = 150
 
     t0 = time.time()
     s = ns.NavierStokesSolver(load_dfg_mesh(refine), cfg,
-                              log=ns.RunLog(verbose=False), inlet=inflow)
-    iters, upd = s.solve_steady(tol=1e-14, max_iters=20)
+                              log=ns.RunLog(verbose=True), inlet=inflow)
+    iters, upd = s.solve_steady(tol=1e-12, max_iters=25)
     sol = s.solution
 
     traction = BoundaryForce(s.dofs, tags=(13,), nu=cfg.nu, rho=cfg.rho)

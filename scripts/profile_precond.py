@@ -93,8 +93,15 @@ def main():
     def st_precond(lay_a, A, wa_a, v):
         return mk_precond(lay_a, A, wa_a)(v)
 
+    # block storage dtype mirrors production (KrylovConfig.precond_block_dtype)
+    bdt = (
+        jnp.bfloat16
+        if cfg.krylov.precond_block_dtype == "bfloat16" and s._dtype == jnp.float32
+        else s._dtype
+    )
+
     def st_a00_sweep(lay_a, A, _wa, v):
-        A00 = slice_block(lay_a, A, "v", "v")
+        A00 = slice_block(lay_a, A, "v", "v").astype(bdt)
 
         def mv(w):
             w = w.at[bc_rows].set(0.0, mode="drop")
@@ -107,18 +114,19 @@ def main():
                   precond=pA).x
 
     def st_a00_mv(lay_a, A, _wa, v):
-        A00 = slice_block(lay_a, A, "v", "v")
+        A00 = slice_block(lay_a, A, "v", "v").astype(bdt)
         return windowed_matvec_block(lay_a, A00, v[:n_u], in_spaces="v",
                                      out_spaces="v", passes=passes)
 
     def st_b_mv(lay_a, A, _wa, v):
-        B = slice_block(lay_a, A, "v", "p")
+        B = slice_block(lay_a, A, "v", "p").astype(bdt)
         return windowed_matvec_block(lay_a, B, v[:n_u], in_spaces="v",
                                      out_spaces="p", passes=passes)
 
     def st_kp_mv(lay_a, _A, wa_a, v):
-        return windowed_matvec_block(lay_a, wa_a.Kp_t, v[n_u:], in_spaces="p",
-                                     out_spaces="p", passes=passes)
+        return windowed_matvec_block(lay_a, wa_a.Kp_t.astype(bdt), v[n_u:],
+                                     in_spaces="p", out_spaces="p",
+                                     passes=passes)
 
     def _mk_pkp(wa_a):
         # the SHARED production coarse apply (la/preconditioners.
@@ -136,8 +144,9 @@ def main():
         _, pkp = _mk_pkp(wa_a)
 
         def mv(p):
-            return windowed_matvec_block(lay_a, wa_a.Kp_t, p, in_spaces="p",
-                                         out_spaces="p", passes=passes)
+            return windowed_matvec_block(lay_a, wa_a.Kp_t.astype(bdt), p,
+                                         in_spaces="p", out_spaces="p",
+                                         passes=passes)
 
         return cg(mv, v[n_u:], atol=0.0, maxiter=cfg.krylov.cc_iters_ap,
                   precond=pkp).x

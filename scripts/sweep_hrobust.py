@@ -51,8 +51,16 @@ def main():
     cfg.krylov.matvec = "windowed"
     cfg.krylov.preconditioner = "cahouet_chabard"
     cfg.krylov.max_iters = 300
+    if os.environ.get("SWEEP_DT"):  # probe other regimes (e.g. DFG dt=0.0025)
+        cfg.dt = float(os.environ["SWEEP_DT"])
     if os.environ.get("SWEEP_A00_SOLVER"):
         cfg.krylov.a00_solver = os.environ["SWEEP_A00_SOLVER"]
+    if os.environ.get("SWEEP_CYCLE_A00"):
+        cfg.krylov.cc_cycle_a00 = os.environ["SWEEP_CYCLE_A00"]
+    if os.environ.get("SWEEP_CYCLE_AP"):
+        cfg.krylov.cc_cycle_ap = os.environ["SWEEP_CYCLE_AP"]
+    if os.environ.get("SWEEP_RESTART"):
+        cfg.krylov.restart = int(os.environ["SWEEP_RESTART"])
     s = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False))
     s.setup()
     n = s.dofs.n_total
@@ -70,13 +78,14 @@ def main():
         its tangent gets intrinsically harder under refinement and masks
         the preconditioner's own h-scaling).  'random': legacy bench state.
         """
+        amp = float(os.environ.get("SWEEP_AMP", "0.3"))
         if os.environ.get("SWEEP_STATE", "smooth") == "random":
             return jnp.asarray(0.05 * rng.standard_normal(n), dtype=s._dtype)
         vc, pc = s.dofs.v_coords, s.dofs.p_coords
         kx, ky = 2.0 * np.pi, 2.0 * np.pi
-        ux = 0.3 * np.sin(kx * vc[:, 0] + eps) * np.cos(ky * vc[:, 1])
-        uy = -0.3 * np.cos(kx * vc[:, 0] + eps) * np.sin(ky * vc[:, 1])
-        p = 0.1 * np.cos(kx * pc[:, 0] + eps)
+        ux = amp * np.sin(kx * vc[:, 0] + eps) * np.cos(ky * vc[:, 1])
+        uy = -amp * np.cos(kx * vc[:, 0] + eps) * np.sin(ky * vc[:, 1])
+        p = (amp / 3.0) * np.cos(kx * pc[:, 0] + eps)
         comps = [ux, uy] if s.dofs.dim == 2 else [ux, uy, np.zeros(len(vc))]
         return jnp.asarray(np.concatenate(comps + [p]), dtype=s._dtype)
 
@@ -113,7 +122,7 @@ def main():
             return [float(np.asarray(o.ravel()[0])) for o in jax.tree.leaves(out)]
 
         sync(step(mk_state(0.03)))
-        ts, its, convs = [], [], []
+        ts, its, convs, rels = [], [], [], []
         for j in range(3):
             st = mk_state(0.01 * j)
             t0 = time.perf_counter()
@@ -122,9 +131,15 @@ def main():
             ts.append(time.perf_counter() - t0)
             its.append(int(out[2]))
             convs.append(bool(out[3]))
+            # final tangent-solve RELATIVE residual (kres / newton res norm)
+            rels.append(float(out[4]) / max(float(out[1]), 1e-300))
         print(
             f"  aggv={aggv:4d} a00={a00} ap={ap} aggp={cfg.krylov.cc_coarse_agg}"
-            f" cap={cfg.krylov.cc_coarse_cond_cap:g}: iters={its} conv={convs} "
+            f" cap={cfg.krylov.cc_coarse_cond_cap:g}"
+            f" a00_solver={cfg.krylov.a00_solver}"
+            f" cyc=({cfg.krylov.cc_cycle_a00},{cfg.krylov.cc_cycle_ap})"
+            f": iters={its} conv={convs} "
+            f"rel={['%.1e' % r for r in rels]} "
             f"newton_ms={sorted(ts)[1]*1e3:.1f} (build {t_build:.1f}s)",
             flush=True,
         )

@@ -188,7 +188,74 @@ def test_coarse_correction_galerkin_and_speedup(setup):
                                rtol=1e-12, atol=1e-12)
 
 
-def _solve(precond, initial_guess="zero", n_devices=None):
+def test_two_level_vcycle_symmetric_and_stronger(setup):
+    """la/preconditioners.two_level_vcycle on the pinned pressure Laplacian:
+    (a) symmetric as a linear operator (x.V y == y.V x — the SPD requirement
+    for use as a CG preconditioner); (b) CG with the multiplicative V(1,1)
+    converges in fewer iterations than with the additive D^-1 + coarse
+    composition (KrylovConfig.cc_cycle_ap="vcycle" rationale)."""
+    import jax
+
+    from navier_stokes_tpu.la.cg import cg
+    from navier_stokes_tpu.la.preconditioners import (
+        coarse_correction, jacobi, two_level_vcycle)
+
+    dofs, ctx, lay, A_t, x, _ = setup
+    wa = build_windowed_assembly(
+        ctx, lay, dofs, dt=0.1, nu=0.01, rho=1.0, p_out=2.0,
+        pin_pdofs=dofs.boundary_scalar_pdofs((1,)), coarse_agg=16,
+    )
+
+    def Kp_mv(p):
+        return windowed_matvec_block(
+            lay, wa.Kp_t, p, in_spaces="p", out_spaces="p", passes=3
+        )
+
+    coarse = coarse_correction(wa.agg_p, wa.coarse_inv, wa.coarse_agg_size)
+    V = two_level_vcycle(Kp_mv, wa.diag_kp, coarse, omega=0.7)
+
+    rng = np.random.default_rng(11)
+    mask = (
+        np.ones(dofs.n_ps) if dofs.p_mask is None
+        else np.asarray(dofs.p_mask, float)
+    )
+    a = jnp.asarray(rng.standard_normal(dofs.n_ps) * mask)
+    b = jnp.asarray(rng.standard_normal(dofs.n_ps) * mask)
+    lhs = float(jnp.dot(a, V(b)))
+    rhs = float(jnp.dot(b, V(a)))
+    np.testing.assert_allclose(lhs, rhs, rtol=1e-11)
+
+    rhs_v = jnp.asarray(rng.standard_normal(dofs.n_ps) * mask)
+    atol = 1e-8 * float(jnp.linalg.norm(rhs_v))
+    pj = jacobi(wa.diag_kp)
+    r_add = cg(Kp_mv, rhs_v, atol=atol, maxiter=500,
+               precond=lambda r: pj(r) + coarse(r))
+    r_vc = cg(Kp_mv, rhs_v, atol=atol, maxiter=500, precond=V)
+    assert float(r_vc.residual) <= atol * 1.01
+    assert int(r_vc.iters) < int(r_add.iters)
+
+
+def test_bf16_precond_blocks_accuracy(setup):
+    """precond_block_dtype="bfloat16": a bf16-STORED A00 block applied through
+    the block matvec stays within bf16 rounding (~1e-2 rel) of the f32 block,
+    and the reference path widens identically (exact agreement of the two
+    bf16 paths would need the TPU kernel; here we bound the storage error)."""
+    dofs, ctx, lay, A_t, x, _ = setup
+    A32 = slice_block(lay, A_t, "v", "v").astype(jnp.float32)
+    Abf = A32.astype(jnp.bfloat16)
+    xv = jnp.asarray(np.asarray(x)[: dofs.n_u], jnp.float32)
+    y32 = np.asarray(
+        windowed_matvec_block(lay, A32, xv, in_spaces="v", out_spaces="v")
+    )
+    ybf = np.asarray(
+        windowed_matvec_block(lay, Abf, xv, in_spaces="v", out_spaces="v")
+    )
+    assert ybf.dtype == np.float32  # compute dtype follows x, not A
+    scale = np.abs(y32).max()
+    assert np.abs(ybf - y32).max() < 2e-2 * scale
+
+
+def _solve(precond, initial_guess="zero", n_devices=None, cycle=None):
     cfg = SolverConfig(
         inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
         nu=0.04, p_out=10.0, dt=0.05, T=0.1,
@@ -204,6 +271,13 @@ def _solve(precond, initial_guess="zero", n_devices=None):
     cfg.krylov.matvec = "windowed"
     cfg.krylov.cells_per_block = 16
     cfg.krylov.preconditioner = precond
+    if cycle is not None:
+        # exercise the multiplicative V(1,1) inner-sweep composition with a
+        # coarse space small enough for the tiny mesh
+        cfg.krylov.cc_cycle_a00 = cycle
+        cfg.krylov.cc_cycle_ap = cycle
+        cfg.krylov.cc_coarse_agg = 16
+        cfg.krylov.cc_coarse_agg_v = 16
     cfg.initial_guess = initial_guess
     s = NavierStokesSolver(
         unit_square(3), cfg, log=RunLog(verbose=False), n_devices=n_devices
@@ -221,6 +295,24 @@ def test_cahouet_chabard_converges_to_same_solution():
           for c, v in zip(s_cc.velocity_coords(real_only=True), s_cc.velocity(real_only=True))}
     err = max(np.max(np.abs(v1[k] - v2[k])) for k in v1)
     assert err < 1e-4  # both Newton-converged to tol 1e-2 (absolute)
+
+
+def test_cahouet_chabard_vcycle_solve():
+    """cc_cycle_a00/ap = "vcycle" converges to the same solution as the
+    additive composition (the preconditioner choice must not move the root),
+    single-device AND under windowed SPMD."""
+    s_add = _solve("cahouet_chabard")
+    s_vc = _solve("cahouet_chabard", cycle="vcycle")
+    s_vc2 = _solve("cahouet_chabard", cycle="vcycle", n_devices=2)
+    ref = {tuple(np.round(c, 10)): v
+           for c, v in zip(s_add.velocity_coords(real_only=True),
+                           s_add.velocity(real_only=True))}
+    for s in (s_vc, s_vc2):
+        got = {tuple(np.round(c, 10)): v
+               for c, v in zip(s.velocity_coords(real_only=True),
+                               s.velocity(real_only=True))}
+        err = max(np.max(np.abs(ref[k] - got[k])) for k in ref)
+        assert err < 1e-4
 
 
 def test_cahouet_chabard_spmd():
