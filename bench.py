@@ -327,7 +327,11 @@ def main():
         # 3D P2/P1 tets through the windowed + Cahouet-Chabard path
         # (VERDICT r2 #7): the shipped backward-step mesh refined to >=1M DoF
         try:
-            step_name = os.environ.get("BENCH_3D_MESH", "mesh-step-5.msh")
+            # step-3 refine=2 -> ~1M DoF (219k tets).  step-5 refine=2
+            # (3.75M DoF, 858k tets) OOMs single-chip: the device-resident
+            # windowed-assembly geometry (Gp_t ~4 GB) + operator (A_const
+            # ~7 GB) exceed v5e HBM — that scale is the SPMD path's job.
+            step_name = os.environ.get("BENCH_3D_MESH", "mesh-step-3.msh")
             step_path = f"/root/reference/mesh/{step_name}"
             if os.path.exists(step_path):
                 m3 = read_msh(step_path)

@@ -87,19 +87,31 @@ def main():
     # sigma_num ~ -rel_tol/dt on the near-neutral (slowest-Krylov) Karman
     # direction: at 1e-2/0.0025 that is -4/s, which kills the +0.5/s
     # physical instability (measured: resonant 3 Hz kicks decayed at
-    # exactly -4/s).  1e-4 brings sigma_num to -0.04/s.
-    cfg.krylov.rel_tol = 1e-4
+    # exactly -4/s).  1e-4 brings sigma_num to -0.04/s.  refine=2 runs at
+    # 1e-3: the weakly-pinned channel's near-null pressure mode makes
+    # rel<~1e-3 unreachable there at any restart/sweep setting (see
+    # KrylovConfig.cc_coarse_agg), and sigma_num -0.4/s still lets the
+    # kicked +0.5/s instability reach its limit cycle
+    cfg.krylov.rel_tol = float(
+        os.environ.get("DFG_RELTOL", "1e-4" if refine <= 1 else "1e-3")
+    )
     cfg.krylov.max_iters = int(os.environ.get("DFG_GMRES_CAP", "150"))
     cfg.krylov.matvec = "windowed"
     cfg.krylov.preconditioner = "cahouet_chabard"
     # the pressure-Laplacian inner sweeps must track the mesh: Kp's condition
     # number grows as h^-2, so the refine=0 sweet spot (4) stalls the outer
     # FGMRES against its cap at refine>=1
-    cfg.krylov.cc_iters_a00 = int(os.environ.get("DFG_CC_A00", "2" if refine == 0 else "4"))
-    # refine>=2 runs without the Kp coarse (see cc_coarse_agg below), so the
-    # Jacobi-CG sweep length tracks Kp's h^-2 condition growth instead
+    # refine>=2: the A00 sweep is the outer-iteration lever at this regime's
+    # convective CFL (~2.5): a00=8 cut the 1.78M probe tangent 68 -> 22
+    # outer iterations; SHORT Kp sweeps win there (the longer sweep's better
+    # Kp^-1 approximation resolves the weakly-pinned near-null mode whose
+    # amplified response poisons the f32 outer basis — ap=24: 228 outer
+    # iters, ap=2: 68; scripts/sweep_hrobust.py)
+    cfg.krylov.cc_iters_a00 = int(
+        os.environ.get("DFG_CC_A00", {0: "2", 1: "4"}.get(refine, "8"))
+    )
     cfg.krylov.cc_iters_ap = int(
-        os.environ.get("DFG_CC_AP", {0: "4", 1: "10"}.get(refine, "24"))
+        os.environ.get("DFG_CC_AP", {0: "4", 1: "10"}.get(refine, "2"))
     )
     # refine>=1 at developed flow: convection ~ mass in A00 (u*dt/h ~ 1), so
     # the fixed CG micro-sweep emits divergent directions and the outer

@@ -95,17 +95,22 @@ class KrylovConfig:
     # densely ONCE on host and applied per CG iteration as one tiny MXU
     # matmul (M^-1 = diag^-1 + Z Kc^-1 Zt, SPD).  0 disables (pure Jacobi).
     #
-    # DEFAULT 0 (r3): on weakly outflow-pinned meshes the refined Kp's
-    # coarse matrix develops a near-null mode whose Galerkin inverse
-    # amplifies ~5e3x over the Jacobi term; the f32 outer FGMRES then STALLS
-    # outright at >=1.78M DoF in every regime (measured on mesh_poli
+    # DEFAULT -1 = AUTO (r3): enable the coarse term (agg 128) only when the
+    # f64 pinning probe certifies the mesh WELL-pinned (no Kp mode with
+    # amplification > kp_deflate_min_amp).  On weakly outflow-pinned meshes
+    # the refined Kp's coarse matrix develops a near-null mode whose Galerkin
+    # inverse amplifies ~5e3x over the Jacobi term; the f32 outer FGMRES then
+    # STALLS outright at >=1.78M DoF in every regime (measured on mesh_poli
     # refine=2: rel residual stuck at 0.18-0.96 after 300 iterations with
     # agg=128 / cond caps 1e2-1e4, vs CONVERGED in 18-19 iterations with the
-    # coarse term off — scripts/sweep_hrobust.py).  Plain Jacobi-CG Kp
-    # sweeps + the A00 velocity coarse space keep the outer count flat
-    # (543k: 17, 1.78M: 18).  Enable (e.g. 128) only for small-dt runs on
-    # meshes it is validated on (DFG refine<=1: 5.2x fewer outer iterations).
-    cc_coarse_agg: int = 0
+    # coarse term off — scripts/sweep_hrobust.py); there the near-null modes
+    # are handled exactly by kp_deflate instead, with plain Jacobi-CG Kp
+    # sweeps + the A00 velocity coarse space keeping the outer count flat
+    # (1.78M: 18).  Unpinned (enclosed) meshes skip the probe: coarse off.
+    # On well-pinned meshes the coarse term is the measured winner (543k
+    # cylinder: 17 outer iterations vs 45 without).  Explicit 0 disables,
+    # explicit N>0 forces agg N.
+    cc_coarse_agg: int = -1
     # two-level coarse correction for the A00 (velocity) inner sweeps: one
     # SCALAR coarse space shared by the velocity components, built from the
     # constant tangent block (mass/dt + viscous) with Dirichlet dofs
@@ -117,6 +122,24 @@ class KrylovConfig:
     # behavior).  The run length is fitted to divide the layout's OWv so the
     # SPMD restriction stays on the dense reshape path.
     cc_coarse_agg_v: int = 256
+    # EXPERIMENTAL outer-FGMRES deflation: compute this many of the pinned
+    # pressure Laplacian's smallest eigenmodes (f64 shift-invert Lanczos on
+    # host, once at setup), pair each with its constant-A00 velocity
+    # response (an approximate invariant subspace of the saddle tangent),
+    # and force the pairs into EVERY FGMRES restart cycle as fixed flexible
+    # directions — GCRO-style augmentation targeting the weakly-pinned
+    # channel's near-null Schur modes.
+    #
+    # DEFAULT 0 (off): measured on hardware, the augmentation does NOT move
+    # the weakly-pinned stall (DFG refine=2 tangent floors at rel ~1e-3 in
+    # f32 and ~1e-4 in f64 with or without it, raw modes or Schur pairs,
+    # any restart), and it DEGRADES well-pinned tight-tolerance solves
+    # (cylinder mesh f64 rel 1e-10: 235 -> 420+cap outer iterations) — the
+    # forced slots displace Krylov directions without contributing.  Kept
+    # as an opt-in for further study; the same eigsh probe powers the
+    # cc_coarse_agg AUTO decision regardless of this flag.
+    kp_deflate: int = 0
+    kp_deflate_min_amp: float = 100.0
     # condition cap on the coarse Galerkin matrix: eigenvalues of Kc are
     # floored at max_eig/cap before inverting.  A weakly pinned Kp (short
     # outlet edge, long domain) leaves Kc a near-null mode whose uncapped

@@ -84,6 +84,14 @@ class WindowedAssembly:
     agg_v: jax.Array | None = None  # [n_vs] int32, values in [0, m_v]
     coarse_inv_v: jax.Array | None = None  # [m_v, m_v]
     coarse_agg_size_v: int = field(default=0, metadata=dict(static=True))
+    # near-null modes of the pinned pressure Laplacian, embedded as FULL
+    # planar vectors (velocity part zero), unit-normalized — the outer
+    # FGMRES deflation space (KrylovConfig.kp_deflate).  A weakly
+    # outflow-pinned Kp (short outlet edge, long channel) has modes with
+    # 1e3-1e4x amplification whose Schur response neither a stable f32
+    # preconditioner nor a restarted Krylov space can carry; forcing the
+    # raw directions into every FGMRES cycle handles them exactly.
+    kp_modes: jax.Array | None = None  # [k_d, n_total]
 
 
 def _capped_spd_inverse(Kc: np.ndarray, cond_cap: float) -> np.ndarray:
@@ -171,6 +179,142 @@ def _coarse_space(
     return agg, _capped_spd_inverse(Kc, cond_cap)
 
 
+def _kp_near_null_modes(
+    Kp_cells: np.ndarray,
+    cell_pdofs: np.ndarray,
+    n_ps: int,
+    p_mask,
+    diag_kp: np.ndarray,
+    k_req: int,
+    min_amp: float,
+) -> tuple[np.ndarray, np.ndarray] | None:
+    """Smallest eigenmodes of the assembled pinned pressure Laplacian with
+    amplification ``median(diag)/lambda > min_amp`` — the directions that
+    stall restarted f32 FGMRES (see KrylovConfig.kp_deflate).
+
+    Kp_cells: [k_p, k_p, nv] pinned per-cell matrices (valid copies);
+    computed in f64 on host via shift-invert Lanczos (scipy); returns
+    ([k_kept, n_ps] unit rows, [k_kept] amplifications) sorted by
+    descending amplification (k_kept may be 0: probe ran, Kp is
+    WELL-pinned) or None (probe itself failed)."""
+    try:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        k_p, _, nv = Kp_cells.shape
+        cd = np.asarray(cell_pdofs, np.int64)
+        ii = np.broadcast_to(cd[:, :, None], (nv, k_p, k_p))
+        jj = np.broadcast_to(cd[:, None, :], (nv, k_p, k_p))
+        A = sp.coo_matrix(
+            (Kp_cells.transpose(2, 0, 1).ravel(), (ii.ravel(), jj.ravel())),
+            shape=(n_ps, n_ps),
+        ).tocsr()
+        # decouple padding holes at the median diagonal scale (their
+        # eigenvalues then sit mid-spectrum, never near-null)
+        d = np.asarray(A.diagonal())
+        scale = float(np.median(d[d > 0])) if np.any(d > 0) else 1.0
+        hole = d <= 0
+        if p_mask is not None:
+            hole |= ~np.asarray(p_mask, bool)
+        if hole.any():
+            A = A + sp.diags(np.where(hole, scale, 0.0))
+        A = 0.5 * (A + A.T)
+        k = min(int(k_req), n_ps - 2)
+        w, V = spla.eigsh(A.tocsc(), k=k, sigma=0.0, which="LM")
+        # keep only WEAKLY-pinned modes: exact/near-exact nullspace
+        # (amplification ~1/eps) is the enclosed-domain constant mode, which
+        # the preconditioner's shift machinery already handles — deflating it
+        # injects a (near-)nullspace direction of the full saddle system into
+        # the basis and degrades the solve (measured: enclosed-cavity Newton
+        # residual 3x worse)
+        keep = (w < scale / float(min_amp)) & (w > scale * 1e-10)
+        if not keep.any():
+            # probe ran: WELL-pinned Kp
+            return np.zeros((0, n_ps)), np.zeros(0)
+        V, w = V[:, keep], w[keep]
+        order = np.argsort(w)  # ascending eigenvalue = descending amp
+        V, w = V[:, order], w[order]
+        V = V / np.linalg.norm(V, axis=0, keepdims=True)
+        if p_mask is not None:
+            V = V * np.asarray(p_mask, float)[:, None]
+        return V.T, scale / w  # [k_kept, n_ps], [k_kept]
+    except Exception as e:  # pragma: no cover - scipy/convergence issues
+        import warnings
+
+        warnings.warn(f"kp_deflate: eigsh failed ({e}); deflation disabled")
+        return None
+
+
+def _kp_mode_velocity_responses(
+    blk_v: np.ndarray,
+    cvd: np.ndarray,
+    D_valid: np.ndarray,
+    modes: np.ndarray,
+    cpd: np.ndarray,
+    n_vs: int,
+    v_mask,
+) -> np.ndarray | None:
+    """u_w = A00c^-1 (B^T w) per near-null Kp mode w — the velocity half of
+    the Schur pair (f64 host CG, once at setup).
+
+    Why pairs: augmenting FGMRES with the raw pressure mode z1 = (0, w)
+    alone is USELESS for the saddle tangent (measured: zero effect on the
+    1.78M stall): A z1 = (B^T w, 0) lands in velocity space, far outside
+    span{z1}, so the cycle must still resolve the coupling — and restarts
+    lose it again.  With z2 = (A00c^-1 B^T w, 0) also in the space,
+    A (z2 - z1) = (0, -S w) is NEAR-NULL (S w = B A00^-1 B^T w is tiny for a
+    weakly-pinned near-constant w), i.e. span{z1, z2} is an approximate
+    invariant subspace of the tangent — exactly what GCRO-style augmentation
+    requires to remove a slow mode.
+
+    blk_v: [k_v, k_v, nv] pinned constant velocity block (per valid cell);
+    D_valid: [dim, k_p, k_v, nv] divergence coupling on the same cells;
+    modes: [k_m, n_ps].  Returns [k_m, dim, n_vs] responses or None on
+    solver failure."""
+    try:
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        k_v = blk_v.shape[0]
+        cd = np.asarray(cvd, np.int64)
+        ii = np.broadcast_to(cd.T[:, None, :], (k_v, k_v, cd.shape[0]))
+        jj = np.broadcast_to(cd.T[None, :, :], (k_v, k_v, cd.shape[0]))
+        A = sp.coo_matrix(
+            (blk_v.ravel(), (ii.ravel(), jj.ravel())), shape=(n_vs, n_vs)
+        ).tocsr()
+        d = np.asarray(A.diagonal())
+        scale = float(np.median(d[d > 0])) if np.any(d > 0) else 1.0
+        dead = d <= 0
+        if v_mask is not None:
+            dead |= ~np.asarray(v_mask, bool)
+        if dead.any():
+            A = A + sp.diags(np.where(dead, scale, 0.0))
+        A = (0.5 * (A + A.T)).tocsr()
+        dinv = 1.0 / np.asarray(A.diagonal())
+        M = spla.LinearOperator(A.shape, matvec=lambda r: dinv * r)
+
+        dim = D_valid.shape[0]
+        out = np.zeros((modes.shape[0], dim, n_vs))
+        for m_i, w in enumerate(modes):
+            wc = w[np.asarray(cpd, np.int64)]  # [nv, k_p]
+            for a in range(dim):
+                # velocity-row image of (0, w): rows a of A_const carry -D
+                r_cells = -np.einsum("pic,cp->ci", D_valid[a], wc)
+                rhs = np.zeros(n_vs)
+                np.add.at(rhs, cd.ravel(), r_cells.ravel())
+                rhs[dead] = 0.0
+                u, info = spla.cg(A, rhs, M=M, rtol=1e-10, maxiter=5000)
+                if info != 0:
+                    raise RuntimeError(f"A00 CG info={info}")
+                out[m_i, a] = u
+        return out
+    except Exception as e:  # pragma: no cover - scipy/convergence issues
+        import warnings
+
+        warnings.warn(f"kp_deflate pairing: velocity response failed ({e})")
+        return None
+
+
 def compute_r_const(ctx, p_out, f_q=None) -> np.ndarray:
     """Solution-independent residual terms in the ctx's (natural/blocked)
     numbering: outlet Neumann traction (cpp:314-336) + forcing.  f_q
@@ -196,7 +340,8 @@ def compute_r_const(ctx, p_out, f_q=None) -> np.ndarray:
 def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_out,
                             jacobian_mass_rho=False, terms="navier_stokes",
                             pin_pdofs=None, coarse_agg=0, coarse_agg_v=0,
-                            pin_vdofs=None, coarse_cond_cap=1e4):
+                            pin_vdofs=None, coarse_cond_cap=1e4,
+                            kp_deflate=0, kp_deflate_min_amp=100.0):
     """Precompute geometry + constant terms from a FEMContext (natural order).
 
     ctx: fem.assembly.FEMContext on the SAME blocked-renumbered dofs.
@@ -326,6 +471,68 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
     # correction SPD, leaves well-conditioned coarse spaces untouched
     # (cylinder mesh: cond 1.4e4 -> barely clipped), and restores big-leg
     # convergence.
+    # ---- pinning-quality probe + outer-FGMRES deflation modes -------------
+    # One f64 host eigsh of the pinned Kp serves two decisions:
+    #   * kp_modes: weakly-pinned near-null modes forced into every FGMRES
+    #     cycle (kp_deflate) — unrepresentable by a stable f32 preconditioner;
+    #   * coarse_agg < 0 (AUTO): enable the Kp coarse correction only when
+    #     the worst amplification stays below ~5e5.  Calibration (measured
+    #     2026-08, f64 eigsh amp = median(diag)/lambda_min): cylinder mesh
+    #     refine=2 amp 1.4e5 -> coarse WORKS (17 outer iters vs 45 without);
+    #     DFG channel refine<=1 amp <=3.2e5 -> works (validated production
+    #     config); DFG refine=2 amp 1.3e6 -> coarse STALLS the f32 outer
+    #     solve outright (the Galerkin inverse's amplified response x f32
+    #     eps ~ the solve tolerance).  Unpinned (enclosed) domains keep the
+    #     shift-handled exact nullspace and the probe is skipped: coarse off.
+    AMP_COARSE_CUTOFF = 5e5
+    pinned_kp = pin_pdofs is not None and len(pin_pdofs) > 0
+    probe, probe_amps = None, None
+    if pinned_kp and dim == 2 and (
+        (kp_deflate and kp_deflate > 0) or (coarse_agg is not None and coarse_agg < 0)
+    ):
+        res = _kp_near_null_modes(
+            Kp_t[:, :k_p, :][:, :, valid], cpd, dofs.n_ps, dofs.p_mask,
+            diag_kp, max(int(kp_deflate), 2), kp_deflate_min_amp,
+        )
+        if res is not None:
+            probe, probe_amps = res
+    if coarse_agg is not None and coarse_agg < 0:
+        coarse_safe = probe is not None and (
+            probe.shape[0] == 0 or float(probe_amps.max()) < AMP_COARSE_CUTOFF
+        )
+        coarse_agg = 128 if coarse_safe else 0
+
+    kp_modes = None
+    if kp_deflate and kp_deflate > 0 and probe is not None and probe.shape[0]:
+        modes = probe[: int(kp_deflate)]
+        rows = []
+        # Schur PAIRS: each near-null pressure mode w enters with its
+        # constant-A00 velocity response u_w, so span{(0,w), (u_w,0)} is an
+        # approximate invariant subspace of the tangent (see
+        # _kp_mode_velocity_responses — the raw mode alone is measurably
+        # useless for the saddle system)
+        cvd_d = np.asarray(dofs.cell_vdofs, np.int64)[ids[valid]]
+        blk_d = diag_blk[:, :, valid]
+        if pin_vdofs is not None and len(pin_vdofs):
+            pv = np.zeros(dofs.n_vs, dtype=bool)
+            pv[np.asarray(pin_vdofs, np.int64)] = True
+            blk_d = _pin_cell_mats(blk_d, cvd_d, pv)
+        resp = _kp_mode_velocity_responses(
+            blk_d, cvd_d, D[:, :, :, valid], modes, cpd, dofs.n_vs,
+            dofs.v_mask,
+        )
+        for m_i, w in enumerate(modes):
+            z1 = np.zeros(dofs.n_total)
+            z1[dofs.n_u:] = w
+            rows.append(z1)
+            if resp is not None:
+                z2 = np.zeros(dofs.n_total)
+                z2[: dofs.n_u] = resp[m_i].reshape(-1)
+                nrm = np.linalg.norm(z2)
+                if nrm > 0:
+                    rows.append(z2 / nrm)
+        kp_modes = np.stack(rows)
+
     agg_p = None
     coarse_inv = None
     if coarse_agg and coarse_agg > 0:
@@ -393,6 +600,7 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
         agg_v=None if agg_v is None else jnp.asarray(agg_v, jnp.int32),
         coarse_inv_v=None if coarse_inv_v is None else as_f(coarse_inv_v),
         coarse_agg_size_v=0 if coarse_inv_v is None else s_agg_v,
+        kp_modes=None if kp_modes is None else as_f(kp_modes),
     )
 
 

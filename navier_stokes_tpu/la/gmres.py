@@ -65,6 +65,7 @@ def fgmres(
     maxiter: int = 1000,
     precond: Callable | None = None,
     axis_name: str | None = None,
+    deflate: jax.Array | None = None,
 ) -> GmresResult:
     """Right-preconditioned flexible GMRES; stops at ||r||_2 <= atol.
 
@@ -80,11 +81,25 @@ def fgmres(
     ``r0 = b`` without spending a matvec on A@0 (the operator is linear).
     A solve converging at k iterations therefore costs exactly
     k + ceil(k/restart) matvecs and k preconditioner applications.
+
+    deflate: optional [k_d, n] FIXED solution-space directions forced into
+    EVERY restart cycle as the first k_d flexible (Z) directions, bypassing
+    the preconditioner.  This is GCRO-style augmentation for near-null modes
+    the preconditioner cannot represent stably: a restarted solver loses its
+    slowly-converging mode components at every restart (measured: the DFG
+    channel's weakly-pinned pressure mode stalls restarted FGMRES at rel
+    ~1e-3 in f32 and ~1e-4 in f64 for thousands of iterations), while an
+    augmented cycle spans them exactly, so the least-squares solve removes
+    them in the first cycle and restarts cannot reintroduce them.  Rows
+    should be ~unit-normalized; a direction that breaks down (already
+    spanned) is skipped, not treated as convergence.
     """
     n = b.shape[0]
     dtype = b.dtype
     m = restart
     M = precond or _identity
+    k_d = 0 if deflate is None else deflate.shape[0]
+    assert k_d < restart, "deflation space must be smaller than the restart window"
     atol = jnp.asarray(atol, dtype=dtype)
     eps_break = jnp.asarray(1e-30 if dtype == jnp.float64 else 1e-18, dtype=dtype)
 
@@ -104,10 +119,49 @@ def fgmres(
         R = jnp.eye(m, dtype=dtype)  # unused columns stay identity
 
         def body(carry):
-            V, Z, R, g, cs, sn, res, done, k, j = carry
+            # k: accepted Arnoldi position (V[0..k] filled, compact — a
+            # discarded direction leaves NO gap); jd: next deflation slot;
+            # nreg: accepted regular steps; t: trip counter
+            V, Z, R, g, cs, sn, res, done, k, jd, nreg, t = carry
+            j = k  # Arnoldi/least-squares index of this candidate step
 
-            z = M(V[j])
+            # the FIRST regular step must seed the Krylov chain from V[0]
+            # (the residual direction): deflation slots occupy the leading
+            # rows, and chaining from their images would explore
+            # Krylov(A, A d) instead of Krylov(A, r) — measured to stall
+            # restarted cycles completely once r is orthogonal-ish to d.
+            # Subsequent regular steps chain from the previous regular
+            # image V[k] as usual.
+            vidx = jnp.where(nreg == 0, 0, k)
+            if k_d:
+                # augmentation slots: fixed deflation directions bypass M
+                use_defl = jd < k_d
+                z = lax.cond(
+                    use_defl,
+                    lambda _: deflate[jnp.minimum(jd, k_d - 1)].astype(dtype),
+                    lambda _: M(V[vidx]),
+                    None,
+                )
+            else:
+                use_defl = jnp.bool_(False)
+                z = M(V[vidx])
             w = matvec(z)
+            w0n = _norm(w, axis_name)  # pre-orthogonalization magnitude
+            if k_d:
+                # UNIT-IMAGE scaling of deflation slots: a near-null
+                # direction has a tiny ||A d||, which would put a ~1e-6
+                # diagonal into R and poison the least-squares conditioning
+                # for the whole cycle (measured: an identity-preconditioned
+                # solve ran 10x past its usual count to the iteration cap).
+                # Scaling (z, w) by 1/||A d|| keeps the H column O(1) —
+                # the least-squares solution is unchanged in exact
+                # arithmetic, y just absorbs the scale.
+                dscale = jnp.where(
+                    jnp.logical_and(use_defl, w0n > eps_break), 1.0 / jnp.where(w0n > eps_break, w0n, 1.0), 1.0
+                )
+                z = z * dscale
+                w = w * dscale
+                w0n = w0n * dscale
             # CGS2: rows of V beyond the filled prefix are zero, so no masking
             h1 = jnp.matmul(V, w, precision=_PREC)
             if axis_name is not None:
@@ -119,7 +173,15 @@ def fgmres(
             w = w - jnp.matmul(h2, V, precision=_PREC)
             h = h1 + h2  # [m+1]
             hw = _norm(w, axis_name)
-            inv_hw = jnp.where(hw > eps_break, 1.0 / jnp.where(hw > eps_break, hw, 1.0), 0.0)
+            # RELATIVE breakdown: a direction whose image is (numerically)
+            # already spanned leaves hw ~ roundoff * ||A z||; accepting it
+            # would put a near-zero diagonal into R and blow up the
+            # least-squares solve.  Regular steps hitting this are a happy
+            # breakdown (cycle ends on the finite prefix); deflation slots
+            # are simply skipped.
+            eps_rel = jnp.asarray(1e-12 if dtype == jnp.float64 else 1e-6, dtype)
+            hw_ok = hw > jnp.maximum(eps_rel * w0n, eps_break)
+            inv_hw = jnp.where(hw_ok, 1.0 / jnp.where(hw_ok, hw, 1.0), 0.0)
 
             # apply previous rotations (identity beyond k: cs=1, sn=0)
             def rot(i, hv):
@@ -141,10 +203,12 @@ def fgmres(
             res_new = jnp.abs(g_new[j + 1])
 
             # breakdown guard: if this iteration produced non-finite values
-            # (preconditioner blowup, overflow), discard it and stop the cycle
-            # — the least-squares solve then uses only the finite prefix.
+            # (preconditioner blowup, overflow) or a relatively-spanned
+            # direction, discard it — the least-squares solve then uses only
+            # the accepted prefix.
             apply_it = jnp.logical_and(
-                jnp.isfinite(hw), jnp.all(jnp.isfinite(h_col))
+                jnp.logical_and(jnp.isfinite(hw), hw_ok),
+                jnp.all(jnp.isfinite(h_col)),
             )
 
             # masked state update (row-level wheres keep this O(n) per iter)
@@ -156,18 +220,32 @@ def fgmres(
             sn = jnp.where(apply_it, sn.at[j].set(s_new), sn)
             res = jnp.where(apply_it, res_new, res)
             k = k + apply_it.astype(jnp.int32)
-            done = jnp.logical_or(res <= atol, ~apply_it)
-            return V, Z, R, g, cs, sn, res, done, k, j + 1
+            # a discarded DEFLATION slot (direction already spanned / not
+            # useful this cycle) is simply skipped — the basis stays compact
+            # at V[0..k], so the rest of the cycle proceeds normally; only a
+            # discarded REGULAR step ends the cycle (breakdown / converged)
+            bad = jnp.logical_and(~apply_it, ~use_defl)
+            done = jnp.logical_or(res <= atol, bad)
+            jd = jd + jnp.asarray(use_defl, jnp.int32)
+            nreg = nreg + jnp.asarray(
+                jnp.logical_and(apply_it, ~use_defl), jnp.int32
+            )
+            return V, Z, R, g, cs, sn, res, done, k, jd, nreg, t + 1
 
         def body_cond(carry):
-            done, j = carry[-3], carry[-1]
-            return jnp.logical_and(j < m, jnp.logical_not(done))
+            done, k, t = carry[-5], carry[-4], carry[-1]
+            return jnp.logical_and(
+                jnp.logical_and(k < m, t < m + k_d), jnp.logical_not(done)
+            )
 
         # EARLY-EXIT Arnoldi: a cycle converging at iteration k costs k
         # matvec+precond applications, not a fixed restart-window sweep of
         # masked no-ops (each of which would still run the full operator)
-        carry = (V, Z, R, g, cs, sn, beta, done0, jnp.int32(0), jnp.int32(0))
-        V, Z, R, g, cs, sn, res, done, k, _ = lax.while_loop(
+        carry = (
+            V, Z, R, g, cs, sn, beta, done0,
+            jnp.int32(0), jnp.int32(0), jnp.int32(0), jnp.int32(0),
+        )
+        V, Z, R, g, cs, sn, res, done, k, _, _, _ = lax.while_loop(
             body_cond, body, carry
         )
 

@@ -74,15 +74,22 @@ class NavierStokesSolver:
         forcing=None,
         inlet=None,
         n_devices: int | None = None,
+        forcing_time_dependent: bool | None = None,
     ):
         """n_devices: shard cells over this many devices (SPMD domain
-        decomposition, the reference's mpirun -n N); None = single device."""
+        decomposition, the reference's mpirun -n N); None = single device.
+
+        forcing_time_dependent: explicitly declare whether ``forcing`` is
+        f(x, t) (True) or f(x) (False).  None (default) infers it from the
+        callable's signature (_takes_time) — pass the flag when the callable
+        is wrapped/dynamic and signature inspection would misread it."""
         self.cfg = config or SolverConfig()
         self.log = log or RunLog()
         self.mesh = read_msh(mesh) if isinstance(mesh, str) else mesh
         self.n_devices = n_devices
         self.spmd_mesh = None
         self.forcing = forcing or ZeroForcing()
+        self._forcing_time_dep_override = forcing_time_dependent
         self.inlet = inlet or InletVelocity(
             u_m=self.cfg.inlet.u_m, H=self.cfg.inlet.H, freeze_time=self.cfg.inlet.freeze_time
         )
@@ -121,6 +128,19 @@ class NavierStokesSolver:
 
             base_dofs = self.dofs
             cpb = cfg.krylov.cells_per_block
+            # TPU SMEM bound: each Pallas grid step prefetches per-block
+            # scalar tables padded to 128 lanes (nb x 128 x 4 B = nb x 512 B
+            # against the ~1 MB SMEM budget) — at >2048 blocks the kernel
+            # fails to COMPILE (observed at 7.1M DoF / nb=2646: "Allocation
+            # would exceed memory (size=1048576) ... space=smem").  Grow the
+            # block size until the table fits.
+            while -(-self.mesh.n_cells // cpb) > 2048:
+                cpb *= 2
+            if cpb != cfg.krylov.cells_per_block:
+                log.print(
+                    f"  cells_per_block {cfg.krylov.cells_per_block} -> {cpb} "
+                    "(SMEM block-table bound: <=2048 blocks)"
+                )
             for attempt in range(4):
                 try:
                     dofs_r, block_info = renumber_blocked(
@@ -186,7 +206,11 @@ class NavierStokesSolver:
             "float32": jnp.float32,
             "float64": jnp.float64,
         }[cfg.dtype]
-        self._forcing_time_dep = _takes_time(self.forcing)
+        self._forcing_time_dep = (
+            self._forcing_time_dep_override
+            if self._forcing_time_dep_override is not None
+            else _takes_time(self.forcing)
+        )
         self.ctx = build_context(
             self.dofs,
             neumann_tags=cfg.neumann_tags,
@@ -234,7 +258,14 @@ class NavierStokesSolver:
                     tuple(cfg.inlet_tags) + tuple(cfg.wall_tags)
                 ),
                 coarse_cond_cap=cfg.krylov.cc_coarse_cond_cap,
+                kp_deflate=cfg.krylov.kp_deflate,
+                kp_deflate_min_amp=cfg.krylov.kp_deflate_min_amp,
             )
+            if self._wassembly.kp_modes is not None:
+                self.log.print(
+                    f"  Kp deflation: {self._wassembly.kp_modes.shape[0]} "
+                    "near-null mode(s) augment every FGMRES cycle"
+                )
 
         # Dirichlet: inlet first, walls override on shared DoFs (cpp:354-373)
         specs = [
@@ -650,6 +681,18 @@ class NavierStokesSolver:
                     maxiter=cfg.krylov.max_iters,
                     precond=precond,
                     axis_name=axis_name,
+                    # near-null Kp modes forced into every cycle (None when
+                    # the mesh is well pinned; KrylovConfig.kp_deflate).
+                    # CC-preconditioned solves only: the identity/block
+                    # parity preconditioners never produced the stall the
+                    # augmentation exists for, and the reference-parity
+                    # iteration counts are a comparison signal.
+                    deflate=(
+                        wa.kp_modes
+                        if (lay is not None and wa is not None
+                            and cfg.krylov.preconditioner == "cahouet_chabard")
+                        else None
+                    ),
                 )
                 return (
                     u + cfg.newton.damping * sol.x,
@@ -780,6 +823,8 @@ class NavierStokesSolver:
             self.ctx, self._win_layout, self.dofs,
             dt=1.0, nu=cfg.nu, rho=cfg.rho, p_out=cfg.p_out, terms="stokes",
             pin_pdofs=self.dofs.boundary_scalar_pdofs(cfg.neumann_tags),
+            kp_deflate=cfg.krylov.kp_deflate,
+            kp_deflate_min_amp=cfg.krylov.kp_deflate_min_amp,
         )
 
         def stokes_solve(wa, lay, bc_rows, bc_vals, axis_name=None):
@@ -816,6 +861,10 @@ class NavierStokesSolver:
                 maxiter=cfg.krylov.max_iters,
                 precond=precond,
                 axis_name=axis_name,
+                deflate=(
+                    wa.kp_modes
+                    if cfg.krylov.preconditioner == "cahouet_chabard" else None
+                ),
             )
             return sol.x, sol.iters, sol.residual
 
@@ -862,6 +911,7 @@ class NavierStokesSolver:
         damping: float = 1.0,
         line_search: bool = True,
         initial_guess: str = "stokes",
+        tangent_solver: str = "fgmres",
     ):
         """First-class STEADY Navier-Stokes solve.
 
@@ -880,6 +930,17 @@ class NavierStokesSolver:
         The Schur preconditioner runs with mass_coef=0 (pure pressure-mass
         surrogate): without the time term the Schur complement is spectrally
         equivalent to Mp/nu, not to the Cahouet-Chabard Laplacian sum.
+
+        tangent_solver: "fgmres" (default, device Krylov) or "lu" — an EXACT
+        sparse-direct tangent solve on host (scipy SuperLU), the analogue of
+        deal.II's SparseDirectUMFPACK in the reference's stack.  "lu" is the
+        PARITY/VERIFICATION path (single device, intended with
+        cfg.dtype="float64"): it removes ALL linear-solver error, which the
+        1e-6 Cd/Cl north-star comparison requires — the restarted Krylov
+        stalls near rel ~1e-4 on the weakly-pinned DFG channel in any
+        precision (measured; neither restart=2000 nor near-null-mode
+        deflation moves the floor), which caps Newton residuals far above
+        the parity target.
 
         Returns (n_iters, update_norm).  Requires the windowed operator.
         """
@@ -906,6 +967,8 @@ class NavierStokesSolver:
                 tuple(cfg.inlet_tags) + tuple(cfg.wall_tags)
             ),
             coarse_cond_cap=cfg.krylov.cc_coarse_cond_cap,
+            kp_deflate=cfg.krylov.kp_deflate,
+            kp_deflate_min_amp=cfg.krylov.kp_deflate_min_amp,
         )
 
         def steady_iteration(wa, lay, u, bc_rows, bc_vals, axis_name=None):
@@ -941,6 +1004,10 @@ class NavierStokesSolver:
                 maxiter=cfg.krylov.max_iters,
                 precond=precond,
                 axis_name=axis_name,
+                deflate=(
+                    wa.kp_modes
+                    if cfg.krylov.preconditioner == "cahouet_chabard" else None
+                ),
             )
             return sol.x, bc_diag, res_norm, sol.iters, sol.converged, sol.residual
 
@@ -1020,6 +1087,12 @@ class NavierStokesSolver:
             def do_ls(u, d, bd):
                 return ls_fn(wa_sd, lay, u, d, bc_rows, bc_vals, bd)
 
+            if tangent_solver == "lu":
+                do_iter = self._steady_lu_iteration(bc_rows, bc_vals)
+
+        if tangent_solver == "lu" and self._dist is not None:
+            raise NotImplementedError("tangent_solver='lu' is single-device")
+
         log.banner()
         if initial_guess == "stokes":
             u = jnp.asarray(self.stokes_initial_guess(self.time), self._dtype)
@@ -1065,6 +1138,86 @@ class NavierStokesSolver:
         self.solution = u
         self.solution_old = u.copy()
         return it, upd
+
+    # ------------------------------------------------------------------
+    def _steady_lu_iteration(self, bc_rows, bc_vals):
+        """One exact steady-Newton iteration via host sparse LU (SuperLU).
+
+        The steady tangent is assembled on the flat path with u_old = u and
+        dt = 1e30: the residual's time term vanishes IDENTICALLY (u - u_old
+        = 0) and the Jacobian's mass perturbation is ~1e-30 relative — the
+        steady system to f64 roundoff.  Dirichlet rows are eliminated with
+        the pre-constraint diagonal, matching apply_boundary_values(...,
+        false) semantics (cpp:349-377).  See solve_steady(tangent_solver).
+        """
+        import scipy.sparse as sp
+        import scipy.sparse.linalg as spla
+
+        cfg = self.cfg
+        ctx = self.ctx
+        nl = ctx.cell_dofs.shape[1]
+        cd = np.asarray(ctx.cell_dofs, np.int64)
+        ii = np.broadcast_to(cd[:, :, None], (cd.shape[0], nl, nl))
+        jj = np.broadcast_to(cd[:, None, :], (cd.shape[0], nl, nl))
+        # bc_rows is in SPEC order (inlet first, wall entries overriding
+        # shared DoFs later) and bc_vals/bc_diag index it in that order — a
+        # boolean mask would silently re-sort and scramble inlet values onto
+        # wrong rows, which converges to clean-but-WRONG physics (measured:
+        # Cd 0.30 instead of 5.56)
+        br = np.asarray(bc_rows, np.int64)
+        rows_mask = np.zeros(self.dofs.n_total, dtype=bool)
+        rows_mask[br] = True
+        bc_vals_np = np.asarray(bc_vals, np.float64)
+        # blocked-renumbered dof vectors carry PADDING holes (real-dof masks):
+        # their rows/cols are identically zero, which makes the assembled
+        # matrix structurally singular for a direct factorization — give them
+        # unit diagonals (their residual is zero, so delta stays zero there)
+        real = np.ones(self.dofs.n_total, dtype=bool)
+        if self.dofs.v_mask is not None:
+            vm = np.asarray(self.dofs.v_mask, bool)
+            for a in range(self.dofs.dim):
+                real[a * self.dofs.n_vs : (a + 1) * self.dofs.n_vs] = vm
+        if self.dofs.p_mask is not None:
+            real[self.dofs.n_u :] = np.asarray(self.dofs.p_mask, bool)
+        hole_diag = sp.diags((~real).astype(np.float64))
+
+        def do_iter(u):
+            from ..fem.assembly import assemble_navier_stokes
+
+            cell_mat, _, residual = assemble_navier_stokes(
+                ctx, u, u, dt=1e30, nu=cfg.nu, rho=cfg.rho, p_out=cfg.p_out,
+                convection_form=cfg.convection_form,
+                include_continuity_residual=cfg.include_continuity_residual,
+                jacobian_mass_rho=cfg.jacobian_mass_rho,
+            )
+            cm = np.asarray(cell_mat, np.float64)
+            r = np.array(residual, np.float64)  # writable copy
+            A = sp.coo_matrix(
+                (cm.ravel(), (ii.ravel(), jj.ravel())),
+                shape=(self.dofs.n_total,) * 2,
+            ).tocsr()
+            diag0 = np.asarray(A.diagonal())
+            bc_diag = np.where(diag0[br] != 0.0, diag0[br], 1.0)  # spec order
+            # row elimination, unsymmetric (apply_boundary_values semantics)
+            un = np.asarray(u, np.float64)
+            keep = sp.diags((~rows_mask).astype(np.float64))
+            A = keep @ A + sp.diags(
+                np.where(rows_mask, np.where(diag0 != 0.0, diag0, 1.0), 0.0)
+            ) + hole_diag
+            r[br] = bc_diag * (bc_vals_np - un[br])  # later entries override
+            r[~real] = 0.0
+            res_norm = float(np.linalg.norm(r))
+            delta = spla.splu(A.tocsc()).solve(r)
+            return (
+                jnp.asarray(delta, self._dtype),
+                jnp.asarray(bc_diag, self._dtype),
+                res_norm,
+                1,
+                True,
+                0.0,
+            )
+
+        return do_iter
 
     # ------------------------------------------------------------------
     def solve_newton(self):
@@ -1253,6 +1406,7 @@ class NavierStokesSolver:
         newton_iters: int = 3,
         resume: bool = False,
         progress=None,
+        progress_takes_diagnostics: bool | None = None,
     ):
         """Device-resident time loop: ``lax.scan`` over time steps.
 
@@ -1463,9 +1617,14 @@ class NavierStokesSolver:
         )
         # decide the progress-callback arity ONCE up front: catching
         # TypeError around the call itself would re-invoke (and duplicate the
-        # side effects of) a modern callback that raised TypeError internally
+        # side effects of) a modern callback that raised TypeError internally.
+        # progress_takes_diagnostics=True/False declares it explicitly
+        # (True: progress(step, t, fvals, res=..., iters=...); False: the
+        # legacy 3-arg form); None infers from the signature.
         prog_legacy = False
-        if progress is not None:
+        if progress is not None and progress_takes_diagnostics is not None:
+            prog_legacy = not progress_takes_diagnostics
+        elif progress is not None:
             import inspect
 
             try:

@@ -179,6 +179,8 @@ def wa_pspecs(wa: WindowedAssembly, axis: str = AXIS) -> WindowedAssembly:
         coarse_inv=None if wa.coarse_inv is None else rep,
         agg_v=None if wa.agg_v is None else P(axis),
         coarse_inv_v=None if wa.coarse_inv_v is None else rep,
+        # FGMRES deflation rows: planar vectors, device-major like r_const
+        kp_modes=None if wa.kp_modes is None else P(None, axis),
     )
 
 
@@ -188,6 +190,9 @@ def shard_wa(
     """Convert r_const to the distributed layout and place every array."""
     r_dist = to_dist(np.asarray(wa.r_const), dl)
     wa = dataclasses.replace(wa, r_const=jnp.asarray(r_dist, wa.r_const.dtype))
+    if wa.kp_modes is not None:
+        km = np.stack([to_dist(np.asarray(row), dl) for row in wa.kp_modes])
+        wa = dataclasses.replace(wa, kp_modes=jnp.asarray(km, wa.kp_modes.dtype))
     return _place(wa, wa_pspecs(wa), mesh)
 
 

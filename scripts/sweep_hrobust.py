@@ -41,11 +41,21 @@ def main():
     from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
     from navier_stokes_tpu.utils.logging import RunLog
 
-    path = {
-        "cyl": "/root/reference/mesh/correct_mesh_yt.msh",
-        "poli": "/root/reference/mesh/mesh_poli.msh",
-    }[MESH]
-    mesh = refine_uniform(read_msh(path), REFINE)
+    if MESH == "dfg":
+        # the PRODUCTION problem: geometrically retagged DFG channel
+        # (outlet=10 pins Kp through the short right edge — the weakly-pinned
+        # configuration the kp_deflate machinery targets), curved-cylinder
+        # snapping under refinement
+        sys.path.insert(0, os.path.join(os.path.dirname(__file__), "..", "examples"))
+        from dfg_common import load_dfg_mesh
+
+        mesh = load_dfg_mesh(REFINE)
+    else:
+        path = {
+            "cyl": "/root/reference/mesh/correct_mesh_yt.msh",
+            "poli": "/root/reference/mesh/mesh_poli.msh",
+        }[MESH]
+        mesh = refine_uniform(read_msh(path), REFINE)
 
     cfg = SolverConfig()
     cfg.krylov.matvec = "windowed"
@@ -53,6 +63,12 @@ def main():
     cfg.krylov.max_iters = 300
     if os.environ.get("SWEEP_DT"):  # probe other regimes (e.g. DFG dt=0.0025)
         cfg.dt = float(os.environ["SWEEP_DT"])
+    if os.environ.get("SWEEP_PRODUCTION", "0") == "1":
+        # the DFG production formulation (examples/dfg_cylinder.py)
+        cfg.convection_form = "standard"
+        cfg.include_continuity_residual = True
+        cfg.jacobian_mass_rho = True
+        cfg.time_scheme = "bdf2"
     if os.environ.get("SWEEP_A00_SOLVER"):
         cfg.krylov.a00_solver = os.environ["SWEEP_A00_SOLVER"]
     if os.environ.get("SWEEP_CYCLE_A00"):
@@ -61,6 +77,10 @@ def main():
         cfg.krylov.cc_cycle_ap = os.environ["SWEEP_CYCLE_AP"]
     if os.environ.get("SWEEP_RESTART"):
         cfg.krylov.restart = int(os.environ["SWEEP_RESTART"])
+    if os.environ.get("SWEEP_RELTOL"):
+        cfg.krylov.rel_tol = float(os.environ["SWEEP_RELTOL"])
+    if os.environ.get("SWEEP_PASSES"):
+        cfg.krylov.matvec_passes = int(os.environ["SWEEP_PASSES"])
     s = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False))
     s.setup()
     n = s.dofs.n_total
@@ -111,6 +131,7 @@ def main():
                 tuple(cfg.inlet_tags) + tuple(cfg.wall_tags)
             ),
             coarse_cond_cap=cfg.krylov.cc_coarse_cond_cap,
+            kp_deflate=int(os.environ.get("SWEEP_DEFLATE", "0")),
         )
         s._build_kernels()
         t_build = time.perf_counter() - t0

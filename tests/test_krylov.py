@@ -130,3 +130,53 @@ def test_cg_jacobi_preconditioned():
     prec = cg(lambda x: Aj @ x, jnp.asarray(b), atol=1e-8, maxiter=4000, precond=lambda v: dinv * v)
     assert bool(prec.converged)
     assert int(prec.iters) < int(plain.iters)
+
+
+def test_gmres_deflation_rescues_restarted_near_null():
+    """fgmres(deflate=...): a fixed near-null direction forced into every
+    cycle lets a SMALL-restart solve converge where the plain restarted one
+    stalls for its whole budget (the weakly-pinned pressure-mode scenario;
+    KrylovConfig.kp_deflate)."""
+    rng = np.random.default_rng(3)
+    n = 120
+    # SPD with one isolated tiny eigenvalue and a spread bulk: restarted
+    # GMRES with a small window loses the tiny mode at every restart
+    Q, _ = np.linalg.qr(rng.standard_normal((n, n)))
+    eigs = np.concatenate([[1e-6], np.linspace(0.5, 3.0, n - 1)])
+    A = (Q * eigs) @ Q.T
+    b = A @ rng.standard_normal(n)  # consistent RHS with a big mode component
+    Aj = jnp.asarray(A)
+    bj = jnp.asarray(b)
+    atol = 1e-8 * float(np.linalg.norm(b))
+
+    mv = lambda v: Aj @ v
+    plain = fgmres(mv, bj, atol=atol, restart=8, maxiter=200)
+    defl = fgmres(
+        mv, bj, atol=atol, restart=8, maxiter=200,
+        deflate=jnp.asarray(Q[:, :1].T),
+    )
+    assert bool(defl.converged)
+    assert int(defl.iters) < int(plain.iters) or not bool(plain.converged)
+    x_exact = np.linalg.solve(A, b)
+    np.testing.assert_allclose(np.asarray(defl.x), x_exact, atol=1e-5)
+
+
+def test_gmres_deflation_spanned_direction_is_safe():
+    """A deflation direction that is useless/duplicated must not corrupt the
+    solve or report false convergence."""
+    rng = np.random.default_rng(4)
+    n = 40
+    A = np.eye(n) + 0.1 * rng.standard_normal((n, n))
+    b = rng.standard_normal(n)
+    d = np.zeros((2, n))
+    d[0] = b / np.linalg.norm(b)  # same as the first Krylov direction
+    d[1] = d[0]  # duplicate
+    atol = 1e-10 * float(np.linalg.norm(b))
+    sol = fgmres(
+        jnp.asarray(A).__matmul__, jnp.asarray(b), atol=atol, restart=20,
+        maxiter=200, deflate=jnp.asarray(d),
+    )
+    assert bool(sol.converged)
+    np.testing.assert_allclose(
+        np.asarray(sol.x), np.linalg.solve(A, b), atol=1e-7
+    )
