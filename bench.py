@@ -247,8 +247,18 @@ def main():
             _mv_loop, MV_REPS, lambda e: (lay, A_t, u_state * (1.0 + 1e-6 + e))
         )
         print(f"# matvec {t_mv*1e3:.2f} ms", file=sys.stderr, flush=True)
+        # bf16-stored operator (KrylovConfig.operator_dtype): what the Newton
+        # tangent solve actually streams at the reference-parity rel_tol —
+        # halves the A_t HBM traffic, rows widened to f32 in VMEM
+        t_mv16 = None
+        if A_t.dtype == jnp.float32:
+            A16 = jax.jit(lambda a: a.astype(jnp.bfloat16))(A_t)
+            t_mv16 = marginal_time(
+                _mv_loop, MV_REPS, lambda e: (lay, A16, u_state * (1.0 + 1e-6 + e))
+            )
+            print(f"# matvec(bf16 A) {t_mv16*1e3:.2f} ms", file=sys.stderr, flush=True)
     else:
-        t_mv = None
+        t_mv = t_mv16 = None
 
     extra = {
         "n_dofs": n,
@@ -257,6 +267,7 @@ def main():
         "preconditioner": PRECOND,
         "assembly_ms": round(t_assembly * 1e3, 3),
         "matvec_ms": None if t_mv is None else round(t_mv * 1e3, 3),
+        "matvec_bf16_ms": None if t_mv16 is None else round(t_mv16 * 1e3, 3),
         "newton_step_ms": round(t_newton * 1e3, 3),
         "newton_step_ms_all": [round(t * 1e3, 1) for t in t_newtons],
         "gmres_iters_first_step": gmres_iters,

@@ -64,6 +64,17 @@ class KrylovConfig:
     # (~3e-3 relative — M only steers FGMRES).  "float32" restores exact
     # blocks.  Ignored on the f64 (CPU-parity) path.
     precond_block_dtype: str = "bfloat16"
+    # storage dtype of the OUTER tangent operator A_t inside the unsteady
+    # Newton tangent solve: "bfloat16" halves the dominant HBM stream of the
+    # outer FGMRES matvec (the kernel widens rows to f32 in VMEM, so
+    # accumulation precision is unchanged; only the stored entries are
+    # rounded, ~3e-3 relative).  The Newton RESIDUAL stays f32-exact, so
+    # this is plain inexact-Newton: a 3e-3-relative Jacobian perturbation is
+    # far below the rel_tol 1e-2 forcing term (cpp:566) and leaves the Newton
+    # limit unchanged.  "auto" = bfloat16 iff the run is f32 AND
+    # rel_tol >= 5e-3 (the reference-parity default); tighter tangent solves
+    # (DFG production at 1e-3/1e-4, steady/Stokes parity paths) keep f32.
+    operator_dtype: str = "auto"
     inner_tol: float = 1e-2  # hpp:542,599
     inner_max_iters: int = 2000  # hpp:598
     # cahouet_chabard inner sweep lengths (fixed-iteration coarse-corrected

@@ -42,16 +42,16 @@ def scalar_dof_map(mesh: Mesh, degree: int) -> tuple[int, np.ndarray, np.ndarray
         coords = np.vstack([mesh.coords, mid])
         return mesh.n_nodes + mesh.n_edges, cell_dofs, coords
     if degree == 3:
-        if mesh.dim != 2:
-            raise NotImplementedError("P3 scalar dof map is 2D-only (P3 tets "
-                                      "need a global face map)")
         # 2 dofs per edge ordered along the CANONICAL (lo->hi) edge direction
-        # + 1 interior (cell bubble) dof.  Local order must match
-        # reference_element's P3 basis: vertices, then per EDGES[dim] entry
-        # (a, b) the node at (2a+b)/3 followed by (a+2b)/3, then the bubble.
+        # + bubble dofs.  Local order must match reference_element's P3
+        # basis: vertices, then per EDGES[dim] entry (a, b) the node at
+        # (2a+b)/3 followed by (a+2b)/3, then one bubble per FACES entry
+        # (2D: the single cell-interior bubble; 3D tets: 4 face bubbles and
+        # NO interior dof — 27 λa λb λc is vertex-permutation symmetric, so
+        # a global face id needs no orientation data).
         nn, ne = mesh.n_nodes, mesh.n_edges
         cells = mesh.cells.astype(np.int64)
-        edge_base = nn + 2 * mesh.cell_edges.astype(np.int64)  # [nc, 3]
+        edge_base = nn + 2 * mesh.cell_edges.astype(np.int64)  # [nc, n_ce]
         cols = []
         for k_e, (a, b) in enumerate(EDGES[mesh.dim]):
             # global edge stores (lo, hi); dof 2e sits nearer lo, 2e+1 nearer
@@ -60,18 +60,25 @@ def scalar_dof_map(mesh: Mesh, degree: int) -> tuple[int, np.ndarray, np.ndarray
             e0 = np.where(fwd, edge_base[:, k_e], edge_base[:, k_e] + 1)
             e1 = np.where(fwd, edge_base[:, k_e] + 1, edge_base[:, k_e])
             cols.extend([e0, e1])
-        interior = nn + 2 * ne + np.arange(mesh.n_cells, dtype=np.int64)
-        cell_dofs = np.column_stack(
-            [cells[:, i] for i in range(cells.shape[1])] + cols + [interior]
-        ).astype(np.int32)
         c0 = mesh.coords[mesh.edges[:, 0]]
         c1 = mesh.coords[mesh.edges[:, 1]]
         edge_pts = np.empty((2 * ne, mesh.dim))
         edge_pts[0::2] = (2 * c0 + c1) / 3.0
         edge_pts[1::2] = (c0 + 2 * c1) / 3.0
-        centroids = mesh.coords[mesh.cells].mean(axis=1)
-        coords = np.vstack([mesh.coords, edge_pts, centroids])
-        return nn + 2 * ne + mesh.n_cells, cell_dofs, coords
+        if mesh.dim == 2:
+            bubbles = [nn + 2 * ne + np.arange(mesh.n_cells, dtype=np.int64)]
+            bubble_pts = mesh.coords[mesh.cells].mean(axis=1)
+            n_dofs = nn + 2 * ne + mesh.n_cells
+        else:
+            face_base = nn + 2 * ne + mesh.cell_faces.astype(np.int64)  # [nc, 4]
+            bubbles = [face_base[:, k_f] for k_f in range(4)]
+            bubble_pts = mesh.coords[mesh.faces].mean(axis=1)
+            n_dofs = nn + 2 * ne + mesh.n_faces
+        cell_dofs = np.column_stack(
+            [cells[:, i] for i in range(cells.shape[1])] + cols + bubbles
+        ).astype(np.int32)
+        coords = np.vstack([mesh.coords, edge_pts, bubble_pts])
+        return n_dofs, cell_dofs, coords
     raise NotImplementedError(f"P{degree} scalar dof map")
 
 
@@ -137,6 +144,10 @@ class TaylorHoodDofs:
         elif deg == 3:
             eids = self.mesh.n_nodes + 2 * self._facet_edge_ids(facets)
             ids.extend([eids, eids + 1])
+            if self.dim == 3:
+                # the facet IS a mesh face: its P3 bubble dof lies on it
+                fids = self._facet_face_ids(facets)
+                ids.append(self.mesh.n_nodes + 2 * self.mesh.n_edges + fids)
         out = np.unique(np.concatenate(ids)).astype(np.int64)
         if self.v_perm is not None:
             out = np.sort(self.v_perm[out])
@@ -183,6 +194,20 @@ class TaylorHoodDofs:
         if not np.array_equal(ekey[eid], fkey):
             raise ValueError("facet edge not found in mesh edges")
         return eid
+
+    def _facet_face_ids(self, facets: np.ndarray) -> np.ndarray:
+        """Global face indices of the given (3D) boundary facets."""
+        key = np.sort(facets.astype(np.int64), axis=1)
+        faces = self.mesh.faces.astype(np.int64)
+        mult = self.mesh.n_nodes + 1
+        gkey = (faces[:, 0] * mult + faces[:, 1]) * mult + faces[:, 2]
+        fkey = (key[:, 0] * mult + key[:, 1]) * mult + key[:, 2]
+        order = np.argsort(gkey)
+        pos = np.searchsorted(gkey[order], fkey)
+        fid = order[np.clip(pos, 0, len(order) - 1)]
+        if not np.array_equal(gkey[fid], fkey):
+            raise ValueError("boundary facet not found in mesh faces")
+        return fid
 
     def summary(self) -> str:
         return (

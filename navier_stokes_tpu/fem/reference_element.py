@@ -115,8 +115,9 @@ class ScalarElement:
                         + (la * lb)[:, None] * glam[c]
                     )
                 )
-            if self.dim == 3:
-                raise NotImplementedError("P3 interior bubble in 3D not yet wired")
+            # P3 on the tet is complete here: (3+1)(3+2)(3+3)/6 = 20 dofs =
+            # 4 vertices + 2x6 edge nodes + 4 face bubbles, NO interior
+            # bubble (the first interior node appears at P4)
         else:
             raise NotImplementedError(f"P{k} not implemented")
         return np.stack(vals), np.stack(grads)

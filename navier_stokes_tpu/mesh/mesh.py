@@ -109,6 +109,34 @@ class Mesh:
         return self.edges.shape[0]
 
     @cached_property
+    def _face_data(self) -> tuple[np.ndarray, np.ndarray]:
+        """Unique interior+boundary triangle faces of a tet mesh.
+
+        Returns (faces [n_faces, 3] vertex triples sorted ascending,
+        cell_faces [nc, 4] global face id per local face in
+        reference_element.FACES[3] order).  The P3 tet dof map places one
+        face-bubble dof per global face (the bubble 27 λa λb λc is symmetric
+        under vertex permutation, so no orientation data is needed).
+        """
+        assert self.dim == 3, "face map is 3D-only (2D faces are the cells)"
+        local = np.array(FACES[3], dtype=np.int64)  # [4, 3]
+        tri = np.sort(self.cells[:, local].reshape(-1, 3), axis=1)
+        faces, inv = np.unique(tri, axis=0, return_inverse=True)
+        return faces.astype(np.int32), inv.reshape(self.n_cells, 4).astype(np.int32)
+
+    @property
+    def faces(self) -> np.ndarray:
+        return self._face_data[0]
+
+    @property
+    def cell_faces(self) -> np.ndarray:
+        return self._face_data[1]
+
+    @property
+    def n_faces(self) -> int:
+        return self.faces.shape[0]
+
+    @cached_property
     def facet_cell_map(self) -> tuple[np.ndarray, np.ndarray]:
         """For each boundary facet: (owning cell, local face index).
 

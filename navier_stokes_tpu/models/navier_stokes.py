@@ -643,9 +643,28 @@ class NavierStokesSolver:
             if lay is not None:
                 from ..ops.windowed import windowed_matvec
 
+                # KrylovConfig.operator_dtype: bf16-stored outer operator on
+                # the f32 reference-parity path (rel_tol >= 5e-3) — one cast
+                # pass here buys halved A_t traffic on every Krylov matvec;
+                # the preconditioner below keeps the f32 A_t source and
+                # narrows its own blocks (precond_block_dtype)
+                od = cfg.krylov.operator_dtype
+                if od == "auto":
+                    od = (
+                        "bfloat16"
+                        if A_t.dtype == jnp.float32
+                        and cfg.krylov.rel_tol >= 5e-3
+                        else "float32"
+                    )
+                A_op = (
+                    A_t.astype(jnp.bfloat16)
+                    if od == "bfloat16" and A_t.dtype == jnp.float32
+                    else A_t
+                )
+
                 def apply_op(v):
                     y = windowed_matvec(
-                        lay, A_t, v, passes=cfg.krylov.matvec_passes,
+                        lay, A_op, v, passes=cfg.krylov.matvec_passes,
                         axis_name=axis_name,
                     )
                     if bc_rows.shape[0]:
@@ -1402,6 +1421,8 @@ class NavierStokesSolver:
         self,
         *,
         functional=None,
+        functional_args: str = "u",
+        reaction_tags=None,
         chunk: int = 100,
         newton_iters: int = 3,
         resume: bool = False,
@@ -1484,6 +1505,34 @@ class NavierStokesSolver:
         dt_res2 = jnp.asarray(cfg.dt / 1.5, self._dtype)
         K = int(newton_iters)
 
+        # superconvergent boundary reaction (models/functionals.
+        # BoundaryReaction, evaluated in-scan): the force on a Dirichlet
+        # boundary = sum of the UNCONSTRAINED weak-residual rows over its
+        # velocity dofs, assembled from the flat ctx which both non-dist
+        # branches already ship as a RUNTIME argument (never a baked jit
+        # constant — the multi-hundred-MB rule above)
+        rx_idx = rx_kw = None
+        if reaction_tags is not None:
+            if dist is not None:
+                raise NotImplementedError(
+                    "reaction_tags under windowed SPMD: the flat FEM context "
+                    "is not sharded on this path — evaluate BoundaryReaction "
+                    "on checkpointed states instead"
+                )
+            sdofs = self.dofs.boundary_scalar_vdofs(
+                list(np.atleast_1d(reaction_tags))
+            )
+            rx_idx = jnp.asarray(
+                sdofs[None, :] + np.arange(self.dofs.dim)[:, None] * self.dofs.n_vs,
+                dtype=jnp.int32,
+            )
+            rx_kw = dict(
+                nu=cfg.nu, rho=cfg.rho, p_out=cfg.p_out,
+                convection_form=cfg.convection_form,
+                include_continuity_residual=cfg.include_continuity_residual,
+                jacobian_mass_rho=cfg.jacobian_mass_rho,
+            )
+
         if dist is not None:
             from ..parallel import windowed_spmd as wspmd
 
@@ -1520,12 +1569,27 @@ class NavierStokesSolver:
                     axis_name=axis_name,
                 )
                 iters = iters + it
-            f = (
-                functional(planar_fn(uu))
-                if functional is not None
-                else jnp.zeros((1,), self._dtype)
-            )
-            return (uu, uo_n, uo2_n, kstep + 1), (f, res, iters)
+            if functional is None:
+                f = jnp.zeros((1,), self._dtype)
+            elif functional_args == "u_uold_dt":
+                # residual-based functionals need the SAME effective history
+                # the Newton residual used: under BDF2 the (u_old_eff, dt_res)
+                # reformulation makes (3u-4uo+uo2)/(2dt) == (u-u_old_eff)/dt_res
+                f = functional(planar_fn(uu), planar_fn(u_old_eff), dt_res)
+            else:
+                f = functional(planar_fn(uu))
+            if rx_idx is not None:
+                from ..fem.assembly import assemble_navier_stokes as _ans
+
+                _, _, r_unc = _ans(ctx_a, uu, u_old_eff, dt=dt_res, **rx_kw)
+                # framework residual = -R_weak (the Newton RHS, cpp:287-310):
+                # force BY fluid ON boundary = +sum of reaction rows
+                fr = jnp.stack(
+                    [r_unc[rx_idx[d]].sum() for d in range(self.dofs.dim)]
+                )
+            else:
+                fr = jnp.zeros((), self._dtype)
+            return (uu, uo_n, uo2_n, kstep + 1), (f, fr, res, iters)
 
         # ctx/wa/lay MUST be runtime arguments, not closure constants: baked
         # multi-hundred-MB constants fault the device at scale (same rule as
@@ -1555,7 +1619,7 @@ class NavierStokesSolver:
                     wspmd.layout_pspecs(self._lay_sharded),
                     sh, sh, sh, sh, P(), P(None, wspmd.AXIS),
                 ),
-                out_specs=(sh, sh, sh, P(), (P(), P(), P())),
+                out_specs=(sh, sh, sh, P(), (P(), P(), P(), P())),
             )
             jit_chunk = jax.jit(wrapped)
             bcl = jnp.asarray(self._bc_local)
@@ -1584,7 +1648,7 @@ class NavierStokesSolver:
                 chunk_body,
                 self.spmd_mesh,
                 in_specs=(context_pspecs(self.ctx), P(), P(), P(), P(), P()),
-                out_specs=(P(), P(), P(), P(), (P(), P(), P())),
+                out_specs=(P(), P(), P(), P(), (P(), P(), P(), P())),
             )
             jit_chunk = jax.jit(wrapped)
 
@@ -1609,7 +1673,7 @@ class NavierStokesSolver:
         uo = self.solution_old
         uo2 = self.solution_old2 if self.solution_old2 is not None else uo
         kstep = jnp.int32(getattr(self, "_step", 0))
-        fs, rs, its = [], [], []
+        fs, rxs, rs, its = [], [], [], []
         log.banner()
         log.print(
             f"Scanned time loop: {n_steps} steps x {K} Newton its, "
@@ -1639,7 +1703,7 @@ class NavierStokesSolver:
         while done < n_steps:
             m = min(chunk, n_steps - done)
             bc_chunk = jnp.asarray(bc_sched[done : done + m])
-            u, uo, uo2, kstep, (f, r, it) = run_chunk(u, uo, uo2, kstep, bc_chunk)
+            u, uo, uo2, kstep, (f, fr, r, it) = run_chunk(u, uo, uo2, kstep, bc_chunk)
             jax.block_until_ready(u)
             done += m
             self.time = t0 + done * cfg.dt
@@ -1649,6 +1713,7 @@ class NavierStokesSolver:
             # runs on a flaky link need restartability, SURVEY §5)
             self.solution, self.solution_old, self.solution_old2 = u, uo, uo2
             fs.append(np.asarray(f))
+            rxs.append(np.asarray(fr))
             rs.append(np.asarray(r))
             its.append(np.asarray(it))
             log.print(
@@ -1659,14 +1724,15 @@ class NavierStokesSolver:
                 if prog_legacy:  # legacy 3-arg callback
                     progress(self._step, self.time, fs[-1])
                 else:
-                    progress(
-                        self._step, self.time, fs[-1],
-                        res=rs[-1], iters=its[-1],
-                    )
+                    kwargs = dict(res=rs[-1], iters=its[-1])
+                    if reaction_tags is not None:
+                        kwargs["reaction"] = rxs[-1]
+                    progress(self._step, self.time, fs[-1], **kwargs)
         self.solution, self.solution_old = u, uo
         self.solution_old2 = uo2
         return {
             "functional": np.concatenate(fs) if functional is not None else None,
+            "reaction": np.concatenate(rxs) if reaction_tags is not None else None,
             "residual": np.concatenate(rs),
             "gmres_iters": np.concatenate(its),
         }

@@ -920,7 +920,11 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, passes, interpret):
     kvp = lay.loc_v_hi.shape[1]
     kpp = lay.loc_p_hi.shape[1]
     if mode == "matvec":
-        dtype = A_or_R.dtype
+        # compute dtype follows x; A may be stored NARROWER (bf16 operator on
+        # the f32 path: KrylovConfig.operator_dtype halves the dominant HBM
+        # stream of the outer tangent matvec) — its rows are widened on read
+        # in VMEM, so accumulation precision is unchanged
+        dtype = xw[0].dtype
     elif mode == "scatter":
         dtype = A_or_R.dtype
     else:
@@ -1019,13 +1023,13 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, passes, interpret):
                 for comp in range(dim):
                     xv = xval(T_v, l, comp, RVv, ohh_v[l])
                     if mode == "matvec":
-                        yl = yl + A_ref[comp * k_v + l] * xv
+                        yl = yl + A_ref[comp * k_v + l].astype(dtype) * xv
                     else:
                         X_ref[comp * k_v + l : comp * k_v + l + 1, :] = xv
             for l in range(k_p):
                 xv = xval(T_p, l, 0, RVp, ohh_p[l])
                 if mode == "matvec":
-                    yl = yl + A_ref[dim * k_v + l] * xv
+                    yl = yl + A_ref[dim * k_v + l].astype(dtype) * xv
                 else:
                     X_ref[dim * k_v + l : dim * k_v + l + 1, :] = xv
             if mode == "gather":

@@ -128,3 +128,91 @@ def test_cahouet_chabard_3d_windowed():
           zip(s2.velocity_coords(real_only=True), s2.velocity(real_only=True))}
     err = max(np.max(np.abs(v1[k] - v2[k])) for k in v1)
     assert err < 1e-5, err
+
+
+def test_p3_tet_dof_map_cubic_exact():
+    """P3 tets: nodal interpolation of a global cubic is reproduced exactly
+    at interior quadrature points — validates the 20-node tabulation, the
+    canonical edge-dof orientation across cells, and the face-bubble map."""
+    from navier_stokes_tpu.fem.dofs import scalar_dof_map
+    from navier_stokes_tpu.fem.quadrature import gauss_simplex
+    from navier_stokes_tpu.fem.reference_element import p_element
+
+    mesh = box(2, 3, 2)
+    n, cd, coords = scalar_dof_map(mesh, 3)
+    assert n == mesh.n_nodes + 2 * mesh.n_edges + mesh.n_faces
+    assert cd.shape == (mesh.n_cells, 20)
+
+    def f(p):
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        return x**3 - 2 * y**3 + 0.5 * z**3 + x * y * z + x**2 * z - y
+
+    el = p_element(3, 3)
+    q = gauss_simplex(3, 4)
+    N, _ = el.tabulate(q.points)  # [20, nq]
+    lam = np.concatenate([(1 - q.points.sum(1))[:, None], q.points], axis=1)
+    xq = np.einsum("qv,cvd->cqd", lam, mesh.coords[mesh.cells])
+    u_h = np.einsum("cb,bq->cq", f(coords)[cd], N)
+    np.testing.assert_allclose(u_h, f(xq), rtol=0, atol=1e-11)
+
+
+def test_p3_tet_boundary_dofs_geometric():
+    """boundary_scalar_vdofs(P3, 3D) == every dof whose support point lies on
+    the box boundary (vertices + 2 edge nodes + the facet face bubble)."""
+    from navier_stokes_tpu.fem.dofs import make_dofs
+
+    mesh = box(2, 2, 3)
+    dofs = make_dofs(mesh, degree_velocity=3, degree_pressure=2)
+    got = np.sort(dofs.boundary_scalar_vdofs(tuple(mesh.tags)))
+    c = dofs.v_coords
+    on_b = np.nonzero(
+        (np.abs(c) < 1e-12).any(axis=1) | (np.abs(c - 1.0) < 1e-12).any(axis=1)
+    )[0]
+    np.testing.assert_array_equal(got, np.sort(on_b))
+
+
+def test_stokes_p3_p2_3d_cubic_exact():
+    """P3/P2 Taylor-Hood on tets solves a divergence-free CUBIC manufactured
+    Stokes solution to solver precision (the space contains it exactly)."""
+    NU = 0.7
+
+    def u_ex(p):
+        x, y, z = p[..., 0], p[..., 1], p[..., 2]
+        return np.stack([y**3 + z**2, z**3 + x**2, x**3 + y**2], axis=-1)
+
+    def forcing(p):
+        x, y, z = p[:, 0], p[:, 1], p[:, 2]
+        return np.stack(
+            [-NU * (6 * y + 2) + 2 * x,
+             -NU * (6 * z + 2) + 2 * y,
+             -NU * (6 * x + 2) + 2 * z], axis=1
+        )
+
+    cfg = SolverConfig(
+        inlet_tags=(0, 1, 2, 3, 4, 5), neumann_tags=(), wall_tags=(),
+        nu=NU, rho=1.0, p_out=0.0,
+    )
+    cfg.degree_velocity = 3
+    cfg.degree_pressure = 2
+    cfg.quadrature_degree = 6
+    cfg.krylov.preconditioner = "block_triangular"
+    cfg.krylov.stokes_rel_tol = 1e-11
+    cfg.krylov.inner_tol = 1e-4
+    cfg.krylov.max_iters = 8000
+    s = StokesSolver(
+        box(2, 2, 2), cfg, log=RunLog(verbose=False),
+        forcing=forcing, inlet=lambda x, t=0.0: u_ex(x),
+    )
+    s.solve()
+    sol = np.asarray(s.solution, dtype=np.float64)
+    ue = u_ex(s.dofs.v_coords)  # exact at every P3 support point
+    err = max(
+        float(np.max(np.abs(sol[c * s.dofs.n_vs:(c + 1) * s.dofs.n_vs] - ue[:, c])))
+        for c in range(3)
+    )
+    assert err < 1e-6, err
+    # pressure: quadratic, exact in P2 up to its free constant
+    pe = np.sum(s.dofs.p_coords**2, axis=1)
+    ph = sol[s.dofs.n_u:]
+    dp = ph - pe
+    assert float(np.max(np.abs(dp - dp.mean()))) < 1e-5

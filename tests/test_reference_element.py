@@ -8,7 +8,7 @@ from navier_stokes_tpu.fem.reference_element import p_element, taylor_hood
 
 
 @pytest.mark.parametrize("dim", [2, 3])
-@pytest.mark.parametrize("degree", [1, 2])
+@pytest.mark.parametrize("degree", [1, 2, 3])
 def test_nodal_basis(dim, degree):
     el = p_element(dim, degree)
     vals, _ = el.tabulate(el.support_points)
@@ -16,7 +16,7 @@ def test_nodal_basis(dim, degree):
 
 
 @pytest.mark.parametrize("dim", [2, 3])
-@pytest.mark.parametrize("degree", [1, 2])
+@pytest.mark.parametrize("degree", [1, 2, 3])
 def test_partition_of_unity(dim, degree):
     el = p_element(dim, degree)
     q = gauss_simplex(dim, 4)
@@ -26,7 +26,7 @@ def test_partition_of_unity(dim, degree):
 
 
 @pytest.mark.parametrize("dim", [2, 3])
-@pytest.mark.parametrize("degree", [1, 2])
+@pytest.mark.parametrize("degree", [1, 2, 3])
 def test_gradients_fd(dim, degree):
     """Finite-difference check of tabulated gradients at interior points."""
     el = p_element(dim, degree)

@@ -166,3 +166,28 @@ def test_scanned_checkpoint_resume_bit_identical(tmp_path):
     assert b._step == 4
     b.solve_scanned(chunk=2, newton_iters=2, resume=True)
     np.testing.assert_array_equal(np.asarray(b.solution), u_ref)
+
+
+@pytest.mark.parametrize("scheme", ["bdf1", "bdf2"])
+def test_scanned_reaction_functional(scheme):
+    """In-scan boundary reaction (reaction_tags) equals the post-hoc
+    BoundaryReaction on the final state with the SAME effective history
+    (BDF2's (u_old_eff, dt_res) reformulation included)."""
+    from navier_stokes_tpu.models.functionals import BoundaryReaction
+
+    s = _mk(scheme)
+    s.setup()
+    rx = BoundaryReaction(s, tags=(2,))
+    out = s.solve_scanned(newton_iters=4, chunk=5, reaction_tags=(2,))
+    assert out["reaction"].shape == (5, 2)
+    u, uo, uo2 = s.solution, s.solution_old, s.solution_old2
+    dt = s.cfg.dt
+    if scheme == "bdf2":
+        u_old_eff = (4.0 * uo - uo2) / 3.0
+        # careful: at the LAST step the scanned loop formed u_old_eff from
+        # the then-previous states; reproduce it from the saved history
+        expect = rx.force(u, u_old_eff, dt / 1.5)
+    else:
+        expect = rx.force(u, uo, dt)
+    got = out["reaction"][-1]
+    np.testing.assert_allclose(got, np.asarray(expect), rtol=1e-9, atol=1e-11)

@@ -208,3 +208,59 @@ def test_renumbered_solution_equivalent():
     fb, fr = field(base), field(ren)
     err = max(np.max(np.abs(fb[k] - fr[k])) for k in fb)
     assert err < 1e-8
+
+
+def test_bf16_operator_kernel_semantics(setup):
+    """bf16-stored A (KrylovConfig.operator_dtype): the interpret-mode kernel
+    must compute in x's dtype with A widened on read — i.e. match the
+    reference einsum on the bf16-cast A tightly, and the f32 result to the
+    bf16 rounding level."""
+    dofs, lay, cell_mat, A_t, x, y_flat = setup
+    A16 = jnp.asarray(A_t, jnp.bfloat16)
+    x32 = jnp.asarray(x, jnp.float32)
+    y = windowed_matvec(lay, A16, x32, interpret=True)
+    assert y.dtype == jnp.float32  # compute dtype follows x, not A
+    y_ref16 = windowed_matvec_reference(lay, A16, x32)
+    scale = np.max(np.abs(y_flat))
+    np.testing.assert_allclose(
+        np.asarray(y), np.asarray(y_ref16), rtol=0, atol=3e-4 * scale
+    )
+    # vs the exact f32 operator: bf16 storage rounding only (~3e-3 relative)
+    np.testing.assert_allclose(np.asarray(y), y_flat, rtol=0, atol=2e-2 * scale)
+
+
+def test_operator_dtype_auto_solver():
+    """operator_dtype='auto' engages bf16 A_t storage on the f32 path at the
+    reference-parity rel_tol (1e-2) and leaves the Newton limit unchanged:
+    the residual stays f32-exact, so both runs converge to the same root
+    within the Newton tolerance."""
+    from navier_stokes_tpu.config import SolverConfig
+    from navier_stokes_tpu.models.navier_stokes import NavierStokesSolver
+    from navier_stokes_tpu.utils.logging import RunLog
+
+    def run(operator_dtype):
+        cfg = SolverConfig(
+            inlet_tags=(0,), neumann_tags=(1,), wall_tags=(2, 3),
+            nu=0.04, p_out=10.0, dt=0.05, T=0.1,
+        )
+        cfg.dtype = "float32"
+        cfg.newton.tol = 1e-5
+        cfg.krylov.max_iters = 500
+        cfg.krylov.matvec = "windowed"
+        cfg.krylov.cells_per_block = 16
+        cfg.krylov.operator_dtype = operator_dtype
+        log = RunLog(verbose=False)
+        s = NavierStokesSolver(unit_square(3), cfg, log=log)
+        s.solve()
+        final_res = [r["residual"] for r in log.records if r.get("event") == "newton"][-1]
+        assert final_res < cfg.newton.tol
+        return s
+
+    s32 = run("float32")
+    s16 = run("auto")  # f32 run at rel_tol 1e-2 -> bfloat16 engaged
+    d = np.max(np.abs(np.asarray(s32.solution) - np.asarray(s16.solution)))
+    scale = np.max(np.abs(np.asarray(s32.solution)))
+    # both roots satisfy |r| < 1e-5; the solutions differ by the Newton
+    # tolerance amplified by local conditioning, far below the bf16 level
+    # that a perturbed LIMIT would show
+    assert d < 1e-3 * scale
