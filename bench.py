@@ -34,10 +34,16 @@ PRECOND = os.environ.get("BENCH_PRECOND", "cahouet_chabard")
 BIG = os.environ.get("BENCH_BIG", "1") != "0"  # extra >=1M-DoF Newton step
 HUGE = os.environ.get("BENCH_HUGE", "1") != "0"  # extra >=5M-DoF Newton step
 BENCH_3D = os.environ.get("BENCH_3D", "1") != "0"  # extra 3D (P2/P1 tet) leg
+# Wall-clock budget for the OPTIONAL extra legs (big/huge/3d).  The headline
+# metric + 543k legs always run; each extra leg is skipped (and recorded as
+# skipped) if starting it would exceed the budget — so a driver-side timeout
+# can never kill the run mid-leg and lose the JSON line entirely.
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
 BASELINE_ASSEMBLY_MDOFS = 0.5  # deal.II single-core estimate (see docstring)
 
 
 def main():
+    t_bench0 = time.perf_counter()
     from navier_stokes_tpu.config import SolverConfig
     from navier_stokes_tpu.fem.assembly import assemble_navier_stokes
     from navier_stokes_tpu.mesh.generate import rectangle
@@ -279,7 +285,11 @@ def main():
     def newton_leg(tag, mesh_obj, cfg_leg):
         """One warmed + one timed forced Newton step on a separate problem;
         records n_dofs/newton_step_ms/gmres_iters/converged under _{tag}.
-        Never fails the headline metric."""
+        Never fails the headline metric; skipped when over BENCH_BUDGET_S."""
+        if time.perf_counter() - t_bench0 > BUDGET_S:
+            extra[f"{tag}_skipped"] = "over BENCH_BUDGET_S"
+            print(f"# {tag} skipped (budget)", file=sys.stderr, flush=True)
+            return
         try:
             s2 = NavierStokesSolver(mesh_obj, cfg_leg, log=RunLog(verbose=False))
             s2.setup()
