@@ -36,10 +36,70 @@ HUGE = os.environ.get("BENCH_HUGE", "1") != "0"  # extra >=5M-DoF Newton step
 BENCH_3D = os.environ.get("BENCH_3D", "1") != "0"  # extra 3D (P2/P1 tet) leg
 # Wall-clock budget for the OPTIONAL extra legs (big/huge/3d).  The headline
 # metric + 543k legs always run; each extra leg is skipped (and recorded as
-# skipped) if starting it would exceed the budget — so a driver-side timeout
-# can never kill the run mid-leg and lose the JSON line entirely.
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1500"))
+# skipped) if starting it would exceed the remaining budget.  The budget
+# cannot protect against a driver-side timeout LANDING mid-leg — that is what
+# the incremental JSON emission handles: the metric line is printed after the
+# headline legs and re-printed after EVERY optional leg, so whatever the
+# driver's tail capture sees last is a complete, parseable record of all
+# finished legs (the driver parses the last parseable line).
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
 BASELINE_ASSEMBLY_MDOFS = 0.5  # deal.II single-core estimate (see docstring)
+
+
+def _err_str(e: BaseException) -> str:
+    """Truncated error for the metric line: jaxlib RESOURCE_EXHAUSTED
+    messages embed multi-KB per-buffer allocation dumps, which round 3
+    proved can blow the JSON line past the driver's tail capture
+    (BENCH_r03.json: parsed null, tail = an HLO alloc table)."""
+    return f"{type(e).__name__}: {str(e)[:300]}"
+
+
+def _free_hbm_bytes() -> float:
+    """Best-effort free device memory; generous fallback when the backend
+    exposes no stats (CPU smoke runs)."""
+    import jax
+
+    try:
+        ms = jax.local_devices()[0].memory_stats() or {}
+        limit = ms.get("bytes_limit") or ms.get("bytes_reservable_limit")
+        used = ms.get("bytes_in_use", 0)
+        if limit:
+            return float(limit) - float(used)
+    except Exception:
+        pass
+    if jax.default_backend() == "cpu":
+        return float("inf")
+    return 16e9  # v5e-class HBM
+
+
+def _estimate_leg_bytes(dim: int, n_cells: int, *, restart: int,
+                        tangent_bf16: bool) -> float:
+    """Host-side peak-HBM estimate of one windowed Newton-step leg.
+
+    Counts the device-resident windowed buffers (A_const, the assembled
+    tangent A_t, the bf16 preconditioner block slices, geometry) plus the
+    dominant assembly transients (the convection blocks) and the Krylov
+    basis.  Used to SKIP-AND-RECORD a leg that would fault the device with
+    RESOURCE_EXHAUSTED after minutes of compilation (round-3 failure mode).
+    """
+    k_v, k_p, nq = (6, 3, 7) if dim == 2 else (10, 4, 27)
+    nl = dim * k_v + k_p
+    nli = -(-nl // 8) * 8
+    dkv = dim * k_v
+    dkv8 = -(-dkv // 8) * 8
+    ncd = 1.15 * n_cells  # padded duplicated-cell axis (measured pad ~1.05)
+    n = (5.3 if dim == 2 else 4.4) * n_cells  # P2/P1 DoF per cell (measured)
+    sA = 2 if tangent_bf16 else 4
+    resident = (
+        nl * nli * ncd * sA * 2  # A_const + assembled A_t
+        + (0 if tangent_bf16 else nl * nli * ncd * 2)  # bf16 operator copy
+        + (dkv * dkv8 + dkv * 8 + k_p * 8) * ncd * 2  # precond block slices
+        + (dim * dim + nq + k_p * 8) * ncd * 4  # invJT_t + W_t + Kp_t
+    )
+    transient = (dkv * dkv + 2 * dim * dim * nq + 2 * dim * nq) * ncd * 4
+    krylov = (2 * restart + 4) * n * 4
+    vectors = 24 * n * 4
+    return resident + max(transient, krylov) + vectors
 
 
 def main():
@@ -282,16 +342,54 @@ def main():
         "baseline_note": "deal.II 1-core assembly est. 0.5 MDoF/s (no published numbers)",
     }
 
-    def newton_leg(tag, mesh_obj, cfg_leg):
+    def emit():
+        """Print the complete metric JSON line with everything known SO FAR.
+
+        Called after the headline legs and re-called after every optional
+        leg: the driver parses the LAST parseable line of the captured tail,
+        so a timeout/OOM/watchdog kill mid-leg still leaves a full record of
+        all finished legs (the round-3 artifact was lost to exactly this)."""
+        print(json.dumps({
+            "metric": "ns_assembly_throughput",
+            "value": round(mdofs, 3),
+            "unit": "MDoF/s",
+            "vs_baseline": round(mdofs / BASELINE_ASSEMBLY_MDOFS, 2),
+            "extra": extra,
+        }), flush=True)
+
+    emit()  # headline legs are in; optional legs below only ever ADD to this
+
+    def newton_leg(tag, mesh_fn, cfg_leg, dim, n_cells_est, min_budget_s=120):
         """One warmed + one timed forced Newton step on a separate problem;
         records n_dofs/newton_step_ms/gmres_iters/converged under _{tag}.
-        Never fails the headline metric; skipped when over BENCH_BUDGET_S."""
-        if time.perf_counter() - t_bench0 > BUDGET_S:
-            extra[f"{tag}_skipped"] = "over BENCH_BUDGET_S"
+        Never fails the headline metric.  Skipped (and recorded as skipped)
+        when the remaining wall budget or the host-side HBM estimate says the
+        leg cannot finish — a pre-check, not a post-mortem: round 3 spent
+        minutes compiling toward a RESOURCE_EXHAUSTED device fault.
+        mesh_fn is a THUNK so a skipped leg pays no host refine cost."""
+        elapsed = time.perf_counter() - t_bench0
+        if elapsed > BUDGET_S - min_budget_s:
+            extra[f"{tag}_skipped"] = (
+                f"budget: {elapsed:.0f}s elapsed of {BUDGET_S:.0f}s"
+            )
             print(f"# {tag} skipped (budget)", file=sys.stderr, flush=True)
+            emit()
+            return
+        tangent_bf16 = cfg_leg.krylov.tangent_store_dtype == "bfloat16"
+        est = _estimate_leg_bytes(
+            dim, n_cells_est, restart=cfg_leg.krylov.restart,
+            tangent_bf16=tangent_bf16,
+        )
+        free = _free_hbm_bytes()
+        if est > 0.92 * free:
+            extra[f"{tag}_skipped"] = (
+                f"hbm: est {est/1e9:.1f} GB > 0.92 * free {free/1e9:.1f} GB"
+            )
+            print(f"# {tag} skipped (hbm est)", file=sys.stderr, flush=True)
+            emit()
             return
         try:
-            s2 = NavierStokesSolver(mesh_obj, cfg_leg, log=RunLog(verbose=False))
+            s2 = NavierStokesSolver(mesh_fn(), cfg_leg, log=RunLog(verbose=False))
             s2.setup()
             n2 = s2.dofs.n_total
             uo2 = s2.solution_old
@@ -313,13 +411,18 @@ def main():
             extra[f"gmres_iters_{tag}"] = int(out2[2])
             extra[f"gmres_converged_{tag}"] = bool(out2[3])
             extra[f"matvec_{tag}"] = s2._matvec
+            del s2
             print(
                 f"# {tag} {extra[f'newton_step_ms_{tag}']:.0f} ms "
-                f"iters={int(out2[2])} n={n2}",
+                f"iters={extra[f'gmres_iters_{tag}']} n={n2}",
                 file=sys.stderr, flush=True,
             )
         except Exception as e:
-            extra[f"{tag}_error"] = f"{type(e).__name__}: {e}"
+            extra[f"{tag}_error"] = _err_str(e)
+        import gc
+
+        gc.collect()
+        emit()
 
     import dataclasses as _dc
 
@@ -339,50 +442,63 @@ def main():
     if BIG:
         # the BASELINE.json "GMRES ms per Newton step at 1M DoF" metric:
         # mesh_poli (DFG channel) refined 2x -> ~1.78M DoF, one chip
-        newton_leg("big", refine_uniform(big_base, 2), cfg_leg)
+        newton_leg(
+            "big", lambda: refine_uniform(big_base, 2), cfg_leg,
+            2, big_base.n_cells * 16,
+        )
     if HUGE:
         # the h-robustness leg (VERDICT r2 #1): ~7.1M DoF, one chip; the
-        # outer FGMRES count must stay ~flat vs the 543k/1.78M legs
-        newton_leg("huge", refine_uniform(big_base, 3), cfg_leg)
+        # outer FGMRES count must stay ~flat vs the 543k/1.78M legs.
+        # This leg needs its own compile (~2-4 min at this size): reserve a
+        # larger minimum budget slice.
+        newton_leg(
+            "huge", lambda: refine_uniform(big_base, 3), cfg_leg,
+            2, big_base.n_cells * 64, min_budget_s=300,
+        )
     if BENCH_3D:
         # 3D P2/P1 tets through the windowed + Cahouet-Chabard path
-        # (VERDICT r2 #7): the shipped backward-step mesh refined to >=1M DoF
+        # (VERDICT r2 #7, r3 #3).  The 3D tangent is stored bf16
+        # (KrylovConfig.tangent_store_dtype): with the per-qpt gradient
+        # table eliminated (invJT in-kernel recompute) this brings step-5
+        # refine=2 (3.75M DoF, 858k tets) inside a single v5e chip.
         try:
-            # step-3 refine=2 -> ~1M DoF (219k tets).  step-5 refine=2
-            # (3.75M DoF, 858k tets) OOMs single-chip: the device-resident
-            # windowed-assembly geometry (Gp_t ~4 GB) + operator (A_const
-            # ~7 GB) exceed v5e HBM — that scale is the SPMD path's job.
             step_name = os.environ.get("BENCH_3D_MESH", "mesh-step-3.msh")
             step_path = f"/root/reference/mesh/{step_name}"
             if os.path.exists(step_path):
-                m3 = read_msh(step_path)
-                tags = list(m3.tags)
+                m3_base = read_msh(step_path)
+                tags = list(m3_base.tags)
             else:
                 from navier_stokes_tpu.mesh.generate import box
 
-                m3 = box(8, 8, 8)
+                m3_base = box(8, 8, 8)
                 tags = [0, 1, 2, 3, 4, 5]
-            # step-5 refine=2 -> 3.75M DoF (858k tets); step-3 refine=2 ->
-            # 0.98M DoF — the smaller fallback if memory is tight
-            m3 = refine_uniform(m3, int(os.environ.get("BENCH_3D_REFINE", "2")))
+            r3d = int(os.environ.get("BENCH_3D_REFINE", "2"))
             cfg3 = _dc.replace(
                 cfg_leg,
                 inlet_tags=(tags[0],),
                 neumann_tags=tuple(tags[1:2]),
                 wall_tags=tuple(tags[2:]),
+                krylov=_dc.replace(
+                    cfg_leg.krylov, tangent_store_dtype="bfloat16"
+                ),
             )
-            newton_leg("3d", m3, cfg3)
+            newton_leg(
+                "3d", lambda: refine_uniform(m3_base, r3d), cfg3,
+                3, m3_base.n_cells * 8**r3d, min_budget_s=240,
+            )
         except Exception as e:
-            extra["3d_error"] = f"{type(e).__name__}: {e}"
+            extra["3d_error"] = _err_str(e)
+            emit()
 
-    result = {
-        "metric": "ns_assembly_throughput",
-        "value": round(mdofs, 3),
-        "unit": "MDoF/s",
-        "vs_baseline": round(mdofs / BASELINE_ASSEMBLY_MDOFS, 2),
-        "extra": extra,
-    }
-    print(json.dumps(result))
+    emit()  # the authoritative final line (identical to the last emit)
+    try:  # best-effort skip/err audit trail for the judge (VERDICT r3 #8)
+        art = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                           "examples", "artifacts", "bench_last_run.json")
+        with open(art, "w") as f:
+            json.dump({"date": time.strftime("%Y-%m-%d %H:%M:%S"),
+                       "budget_s": BUDGET_S, "extra": extra}, f, indent=1)
+    except Exception:
+        pass
 
 
 if __name__ == "__main__":

@@ -75,6 +75,21 @@ class KrylovConfig:
     # rel_tol >= 5e-3 (the reference-parity default); tighter tangent solves
     # (DFG production at 1e-3/1e-4, steady/Stokes parity paths) keep f32.
     operator_dtype: str = "auto"
+    # STORAGE dtype of the assembled windowed tangent (A_const and the
+    # per-iteration A_t it produces) on the f32 path: "bfloat16" halves the
+    # two largest device-resident buffers of a windowed solve.  This is the
+    # single-chip capacity knob for 3D (VERDICT r3 #3): at step-5 refine=2
+    # (3.75M DoF tets, nl=34) the f32 A_const + A_t alone are ~11 GB; bf16
+    # brings the whole solve inside one v5e chip.  Numerics: the residual
+    # (Newton RHS) is still assembled f32-exact — only the TANGENT entries
+    # are rounded (~3e-3 relative), the same inexact-Newton perturbation as
+    # operator_dtype="bfloat16" (which this subsumes: the operator is then
+    # stored bf16 with no extra cast copy), far below the rel_tol 1e-2
+    # forcing term.  Preconditioner blocks are sliced from the bf16 store
+    # (they default to bf16 anyway, precond_block_dtype).  The raw-diagonal
+    # extraction (Dirichlet bc_diag, Jacobi) widens to f32 before its
+    # cross-cell accumulation.  Ignored on the f64 path.
+    tangent_store_dtype: str = "float32"
     inner_tol: float = 1e-2  # hpp:542,599
     inner_max_iters: int = 2000  # hpp:598
     # cahouet_chabard inner sweep lengths (fixed-iteration coarse-corrected

@@ -242,6 +242,17 @@ class NavierStokesSolver:
         if self._win_layout is not None:
             from ..fem.windowed_assembly import build_windowed_assembly
 
+            # bf16 tangent store (single-chip capacity mode for large 3D
+            # problems): halves A_const AND the per-iteration A_t it emits;
+            # f32-path only (KrylovConfig.tangent_store_dtype)
+            store = (
+                jnp.bfloat16
+                if (
+                    cfg.krylov.tangent_store_dtype == "bfloat16"
+                    and self._dtype == jnp.float32
+                )
+                else None
+            )
             self._wassembly = build_windowed_assembly(
                 self.ctx,
                 self._win_layout,
@@ -250,6 +261,7 @@ class NavierStokesSolver:
                 nu=cfg.nu,
                 rho=cfg.rho,
                 p_out=cfg.p_out,
+                store_dtype=store,
                 jacobian_mass_rho=cfg.jacobian_mass_rho,
                 pin_pdofs=self.dofs.boundary_scalar_pdofs(cfg.neumann_tags),
                 coarse_agg=cfg.krylov.cc_coarse_agg,
@@ -296,6 +308,17 @@ class NavierStokesSolver:
             )
 
         self.solution = jnp.zeros(self.dofs.n_total, dtype=self._dtype)
+        if self._dist is not None:
+            # state vectors live block-sharded from step 0: at capacity scale
+            # no device ever holds a full-length vector (the owned/ghost
+            # split of hpp:785-794)
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from ..parallel import windowed_spmd as wspmd
+
+            self.solution = jax.device_put(
+                self.solution, NamedSharding(self.spmd_mesh, P(wspmd.AXIS))
+            )
         self.solution_old = self.solution
         self._build_kernels()
         self._is_setup = True
@@ -1141,10 +1164,9 @@ class NavierStokesSolver:
                 pick = int(np.argmax(ok)) if ok.any() else int(np.argmin(norms))
                 alpha = _ALPHAS[pick] * damping
             u = u + alpha * delta
-            upd = float(alpha) * float(
-                jnp.linalg.norm(delta) if self._dist is None
-                else jnp.linalg.norm(delta)  # device-major: same 2-norm
-            ) / n_scale
+            # the device-major distributed layout is a permutation of the
+            # planar vector, so one norm covers both paths
+            upd = float(alpha) * float(jnp.linalg.norm(delta)) / n_scale
             it += 1
             log.print(f"Residual = {upd:.6f}")  # cpp:829 legacy format
             log.records.append({

@@ -165,8 +165,8 @@ def wa_pspecs(wa: WindowedAssembly, axis: str = AXIS) -> WindowedAssembly:
     rep = P()
     return dataclasses.replace(
         wa,
-        N_v=rep, N_p=rep, NN=rep,
-        Gp_t=P(None, None, None, axis),  # [k_v, nq, dim, ncd]
+        N_v=rep, N_p=rep, NN=rep, G_v=rep,
+        invJT_t=P(None, None, axis),  # [dim, dim, ncd]
         W_t=P(None, axis),  # [nq, ncd]
         A_const=P(None, None, axis),  # [nl, nli, ncd]
         r_const=P(axis),  # device-major distributed vector
