@@ -42,7 +42,7 @@ BENCH_3D = os.environ.get("BENCH_3D", "1") != "0"  # extra 3D (P2/P1 tet) leg
 # headline legs and re-printed after EVERY optional leg, so whatever the
 # driver's tail capture sees last is a complete, parseable record of all
 # finished legs (the driver parses the last parseable line).
-BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "1200"))
+BUDGET_S = float(os.environ.get("BENCH_BUDGET_S", "2400"))
 BASELINE_ASSEMBLY_MDOFS = 0.5  # deal.II single-core estimate (see docstring)
 
 
@@ -67,9 +67,13 @@ def _free_hbm_bytes() -> float:
             return float(limit) - float(used)
     except Exception:
         pass
+    if os.environ.get("BENCH_HBM_FREE"):
+        return float(os.environ["BENCH_HBM_FREE"])
     if jax.default_backend() == "cpu":
         return float("inf")
-    return 16e9  # v5e-class HBM
+    # v5e HBM is 16 GB but the axon worker's usable budget measured ~12 GB
+    # (f32 7.1M assembly at ~13 GB est. peak faulted; bf16 at ~8 GB ran)
+    return 12e9
 
 
 def _estimate_leg_bytes(dim: int, n_cells: int, *, restart: int,
@@ -96,7 +100,9 @@ def _estimate_leg_bytes(dim: int, n_cells: int, *, restart: int,
         + (dkv * dkv8 + dkv * 8 + k_p * 8) * ncd * 2  # precond block slices
         + (dim * dim + nq + k_p * 8) * ncd * 4  # invJT_t + W_t + Kp_t
     )
-    transient = (dkv * dkv + 2 * dim * dim * nq + 2 * dim * nq) * ncd * 4
+    # assembly transient: one [k_v, k_v] convection block at a time (blocked
+    # in-place adds) + the gradient-field intermediates
+    transient = (k_v * k_v + 3 * dim * dim * nq + 2 * dim * nq) * ncd * 4
     krylov = (2 * restart + 4) * n * 4
     vectors = 24 * n * 4
     return resident + max(transient, krylov) + vectors
@@ -449,10 +455,16 @@ def main():
     if HUGE:
         # the h-robustness leg (VERDICT r2 #1): ~7.1M DoF, one chip; the
         # outer FGMRES count must stay ~flat vs the 543k/1.78M legs.
-        # This leg needs its own compile (~2-4 min at this size): reserve a
-        # larger minimum budget slice.
+        # bf16 tangent store: the f32 assembly's working set exceeds the
+        # worker's usable HBM at this size (measured), the bf16 one runs
+        # (2.45 s / 13 outer iterations on TPU v5e).  Needs its own compile
+        # (~2-4 min at this size): reserve a larger minimum budget slice.
+        cfg_huge = _dc.replace(
+            cfg_leg,
+            krylov=_dc.replace(cfg_leg.krylov, tangent_store_dtype="bfloat16"),
+        )
         newton_leg(
-            "huge", lambda: refine_uniform(big_base, 3), cfg_leg,
+            "huge", lambda: refine_uniform(big_base, 3), cfg_huge,
             2, big_base.n_cells * 64, min_budget_s=300,
         )
     if BENCH_3D:
@@ -486,6 +498,28 @@ def main():
                 "3d", lambda: refine_uniform(m3_base, r3d), cfg3,
                 3, m3_base.n_cells * 8**r3d, min_budget_s=240,
             )
+            # stretch leg, DEFAULT OFF: the 3.75M-DoF step-5 mesh (858k
+            # tets).  Its former blocker — the memory model — is fixed (the
+            # bf16-store assembly fits), but this mesh's refined numbering
+            # is not local enough for the windowed kernel: the layout comes
+            # out at halo 5 with 360-row subwindows (vs 2-3 and ~32
+            # elsewhere), which exceeds the kernel's compile-time window
+            # limits.  Kept as an opt-in probe for future ordering work.
+            xl_name = os.environ.get("BENCH_3DXL_MESH", "mesh-step-5.msh")
+            xl_path = f"/root/reference/mesh/{xl_name}"
+            if os.environ.get("BENCH_3DXL", "0") != "0" and os.path.exists(xl_path):
+                mxl_base = read_msh(xl_path)
+                xtags = list(mxl_base.tags)
+                cfgxl = _dc.replace(
+                    cfg3,
+                    inlet_tags=(xtags[0],),
+                    neumann_tags=tuple(xtags[1:2]),
+                    wall_tags=tuple(xtags[2:]),
+                )
+                newton_leg(
+                    "3dxl", lambda: refine_uniform(mxl_base, r3d), cfgxl,
+                    3, mxl_base.n_cells * 8**r3d, min_budget_s=300,
+                )
         except Exception as e:
             extra["3d_error"] = _err_str(e)
             emit()

@@ -699,8 +699,6 @@ def assemble_windowed(
 
     # ---- convection blocks of the tangent (cpp:259-269) -------------------
     guW = gu_q * W  # [dim, dim, nq, ncd]
-    # C1[(b,j) col, (a,i) row] = rho gu[a,b] N_i N_j W  (symmetric in i, j)
-    C1 = rho * jnp.einsum("abqc,ijq->abijc", guW, wa.NN, precision=_PREC)
     # C2[(a,j) col, (a,i) row] = rho (u . grad N_j) N_i W (j carries the grad)
     u_ref = jnp.einsum("dqc,dec->eqc", u_q, iJ, precision=_PREC)
     adv = jnp.einsum("jqe,eqc->jqc", Gr, u_ref, precision=_PREC)
@@ -708,13 +706,22 @@ def assemble_windowed(
 
     st = wa.A_const.dtype  # tangent STORE dtype (bf16 capacity mode keeps
     # the two big buffers half-width; compute above stays f32/f64)
-    rows = []
+    # per-(a,b) blocked accumulation: adding each [k_v, k_v, ncd] convection
+    # block into A_t in place keeps the transient footprint to ONE block —
+    # the all-at-once [dim, dim, k_v, k_v, ncd] form plus its concatenated
+    # copy peaked at ~7 GB for 3D meshes near 1M cells (2x 900 floats/cell)
+    A_t = wa.A_const
     for b in range(dim):  # column component (A_t dim 0)
-        cols = [C1[a, b].transpose(1, 0, 2) for a in range(dim)]  # [j, i, c]
-        cols[b] = cols[b] + C2
-        rows.append(jnp.concatenate(cols, axis=1))  # [k_v, dim*k_v, c]
-    Cvv = jnp.concatenate(rows, axis=0)  # [dim*k_v, dim*k_v, c]
-    A_t = wa.A_const.at[: dim * k_v, : dim * k_v, :].add(Cvv.astype(st))
+        for a in range(dim):  # row component (A_t dim 1)
+            # C1 block [(b,j), (a,i)] = rho gu[a,b] N_i N_j W (sym. in i, j)
+            blk = rho * jnp.einsum(
+                "qc,ijq->jic", guW[a, b], wa.NN, precision=_PREC
+            )
+            if a == b:
+                blk = blk + C2
+            A_t = A_t.at[
+                b * k_v : (b + 1) * k_v, a * k_v : (a + 1) * k_v, :
+            ].add(blk.astype(st))
 
     # ---- residual (cpp:287-311), momentum rows [dim, k_v, ncd] ------------
     if convection_form == "reference":

@@ -128,18 +128,18 @@ class NavierStokesSolver:
 
             base_dofs = self.dofs
             cpb = cfg.krylov.cells_per_block
-            # TPU SMEM bound: each Pallas grid step prefetches per-block
-            # scalar tables padded to 128 lanes (nb x 128 x 4 B = nb x 512 B
-            # against the ~1 MB SMEM budget) — at >2048 blocks the kernel
-            # fails to COMPILE (observed at 7.1M DoF / nb=2646: "Allocation
-            # would exceed memory (size=1048576) ... space=smem").  Grow the
-            # block size until the table fits.
-            while -(-self.mesh.n_cells // cpb) > 2048:
+            # The kernels prefetch ONE row of the per-block offset tables per
+            # grid step (ops/windowed: per-row SMEM windows), so block count
+            # no longer hits the 1 MB SMEM budget — the former <=2048-block
+            # cap (which still crashed the compiler at >1000 blocks once two
+            # tables were counted) is gone.  A generous backstop remains for
+            # pathological cells_per_block settings.
+            while -(-self.mesh.n_cells // cpb) > 16384:
                 cpb *= 2
             if cpb != cfg.krylov.cells_per_block:
                 log.print(
                     f"  cells_per_block {cfg.krylov.cells_per_block} -> {cpb} "
-                    "(SMEM block-table bound: <=2048 blocks)"
+                    "(block-count backstop: <=16384 blocks)"
                 )
             for attempt in range(4):
                 try:

@@ -748,8 +748,8 @@ def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
         acc_refs = rest[1 + n_xin + n_yout :]
         b = pl.program_id(0)
         c = pl.program_id(1)
-        offrv = pl.multiple_of(offv_ref[b, c], _ALIGN_ROWS)
-        offrp = pl.multiple_of(offp_ref[b, c], _ALIGN_ROWS)
+        offrv = pl.multiple_of(offv_ref[0, 0, c], _ALIGN_ROWS)
+        offrp = pl.multiple_of(offp_ref[0, 0, c], _ALIGN_ROWS)
 
         def hi_onehot(h_ref, l, RVc):
             hi = h_ref[0, l : l + 1, :]
@@ -851,7 +851,11 @@ def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
             for i, r in enumerate(acc_refs):
                 y_refs[i][0] = r[:, :]
 
-    smem = pl.BlockSpec((nb, nchunks), lambda b, c: (0, 0), memory_space=pltpu.SMEM)
+    # per-row SMEM offset windows (see _pallas_run: whole-table windows are
+    # lane-padded to nb * 512 B per table and cap the kernel at ~1000 blocks)
+    smem = pl.BlockSpec(
+        (1, 1, nchunks), lambda b, c: (b, 0, 0), memory_space=pltpu.SMEM
+    )
     in_specs = [
         smem,
         smem,
@@ -865,7 +869,7 @@ def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
         ),
     ]
     inputs = [
-        lay.offs_v, lay.offs_p,
+        lay.offs_v.reshape(nb, 1, nchunks), lay.offs_p.reshape(nb, 1, nchunks),
         lay.loc_v_hi, lay.loc_v_lo, lay.loc_p_hi, lay.loc_p_lo,
         A_sub,
     ]
@@ -970,8 +974,8 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, passes, interpret):
             acc_refs = rest[i_r + dim + 1 :]
         b = pl.program_id(0)
         c = pl.program_id(1)
-        offrv = pl.multiple_of(offv_ref[b, c], _ALIGN_ROWS)
-        offrp = pl.multiple_of(offp_ref[b, c], _ALIGN_ROWS)
+        offrv = pl.multiple_of(offv_ref[0, 0, c], _ALIGN_ROWS)
+        offrp = pl.multiple_of(offp_ref[0, 0, c], _ALIGN_ROWS)
 
         def hi_onehot(h_ref, l, RVc):
             hi = h_ref[0, l : l + 1, :]  # [1, Bc]
@@ -1077,8 +1081,15 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, passes, interpret):
                 y_refs[dim][0] = acc_refs[dim][:, :]
 
     # ---- specs -------------------------------------------------------------
+    # one ROW of the offset tables per grid step: SMEM arrays are lane-padded
+    # to 128, so a whole-table (nb, nchunks) window costs nb * 512 B PER
+    # TABLE against the ~1 MB SMEM budget — with two tables that capped the
+    # kernel at ~1000 blocks (the 7.1M-DoF / step-5-3D compile failures:
+    # "Ran out of memory in memory space smem").  The tables are viewed as
+    # [nb, 1, nchunks] so the per-block window (1, 1, nchunks) satisfies the
+    # Pallas last-two-dims blocking rule with the block axis leading.
     smem = pl.BlockSpec(
-        (nb, nchunks), lambda b, c: (0, 0), memory_space=pltpu.SMEM
+        (1, 1, nchunks), lambda b, c: (b, 0, 0), memory_space=pltpu.SMEM
     )
     in_specs = [
         smem,
@@ -1089,7 +1100,7 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, passes, interpret):
         pl.BlockSpec((1, kpp, Bc), lambda b, c: (b, 0, c), memory_space=pltpu.VMEM),
     ]
     inputs = [
-        lay.offs_v, lay.offs_p,
+        lay.offs_v.reshape(nb, 1, nchunks), lay.offs_p.reshape(nb, 1, nchunks),
         lay.loc_v_hi, lay.loc_v_lo, lay.loc_p_hi, lay.loc_p_lo,
     ]
     if mode == "matvec":

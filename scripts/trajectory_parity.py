@@ -91,43 +91,64 @@ def compare(f64_path: str, f32_path: str, out_path: str):
     b = json.load(open(f32_path))
     ta, tb = a["trajectory"], b["trajectory"]
     n = min(len(ta), len(tb))
-    rows, worst_pre, blow_step = [], 0.0, None
+    # With solver error removed the tight-tangent trajectory is NOT the
+    # loose-tolerance blowup of the archived artifacts: one exact Newton
+    # step reaches the discrete equilibrium and every later step ENTERS
+    # below the 1e-2 Newton tolerance.  Residual rows then split into
+    #   * DYNAMIC rows (||r|| above each precision's evaluation floor):
+    #     digit-for-digit comparable — the parity signal;
+    #   * FLOOR rows: the oracle sits at its f64 assembly-roundoff floor
+    #     (~1e-8 here); an f32 evaluation of the SAME iterate can only
+    #     reproduce its own f32 floor, so the comparison is "both below the
+    #     f32 floor bound AND the same Newton stopping decisions", not
+    #     digits of roundoff noise.
+    scale = max(r["residual"] for r in ta[:n])
+    floor32 = 2e-6 * scale  # f32 eps * residual-assembly condition margin
+    rows, worst_dyn, n_dyn, floor_ok = [], 0.0, 0, True
     for i in range(n):
         ra, rb = ta[i], tb[i]
         assert (ra["step"], ra["iter"]) == (rb["step"], rb["iter"]), (
             f"trajectory shapes diverge at row {i}: {ra} vs {rb}"
         )
         rel = abs(rb["residual"] - ra["residual"]) / max(abs(ra["residual"]), 1e-300)
-        rows.append({**ra, "residual_f32": rb["residual"], "rel_diff": rel})
-        # the blowup is identified on the ORACLE: once ||r|| exceeds 1e3 the
-        # flow has left the physical regime and digits are meaningless
-        if blow_step is None and ra["residual"] > 1e3:
-            blow_step = ra["step"]
-        if blow_step is None:
-            worst_pre = max(worst_pre, rel)
-    digits = -np.log10(worst_pre) if worst_pre > 0 else 16.0
+        dynamic = ra["residual"] > floor32
+        rows.append({**ra, "residual_f32": rb["residual"], "rel_diff": rel,
+                     "dynamic": dynamic})
+        if dynamic:
+            worst_dyn = max(worst_dyn, rel)
+            n_dyn += 1
+        else:
+            floor_ok &= rb["residual"] < floor32
+    digits = -np.log10(worst_dyn) if worst_dyn > 0 else 16.0
     out = {
         "description": (
             "As-shipped 20-step Newton residual trajectory, f64-CPU oracle "
-            "vs f32-TPU, BOTH with tight tangent solves (linear-solver error "
-            "removed).  Agreement digits are over the pre-blowup window; the "
-            "as-shipped run genuinely diverges (zero frozen inlet + p_out=10 "
-            "accelerates unboundedly), after which chaotic amplification "
-            "makes per-digit comparison meaningless in ANY precision."
+            "vs f32-TPU, BOTH with tight tangent solves (linear-solver "
+            "error removed).  Finding: with exact tangents the as-shipped "
+            "run is STABLE — one Newton step reaches the discrete "
+            "equilibrium and all 20 steps hold it (the t~0.25 blowup of "
+            "the archived loose-tolerance runs is a property of the "
+            "rel_tol 1e-2 iteration, reproduced identically by both "
+            "precisions there, not a framework artifact).  Digits are "
+            "reported over the DYNAMIC rows; floor rows are precision-"
+            "limited by construction and compared against the f32 "
+            "evaluation-floor bound instead."
         ),
         "f64_config": a["config"],
         "f32_config": b["config"],
-        "pre_blowup_rows": sum(1 for r in rows if blow_step is None or r["step"] < blow_step),
-        "blowup_step_oracle": blow_step,
-        "max_rel_diff_pre_blowup": worst_pre,
-        "agreement_digits_pre_blowup": round(float(digits), 2),
+        "dynamic_rows": n_dyn,
+        "floor_rows": n - n_dyn,
+        "f32_floor_bound": floor32,
+        "floor_rows_within_bound": bool(floor_ok),
+        "max_rel_diff_dynamic": worst_dyn,
+        "agreement_digits_dynamic": round(float(digits), 2),
         "rows": rows,
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(
-        f"pre-blowup agreement: {digits:.2f} digits "
-        f"(max rel {worst_pre:.3e}); oracle blowup at step {blow_step}"
+        f"dynamic-row agreement: {digits:.2f} digits (max rel {worst_dyn:.3e} "
+        f"over {n_dyn} rows); {n - n_dyn} floor rows within bound: {floor_ok}"
     )
 
 
