@@ -9,6 +9,24 @@ steps exactly like bench.py's newton leg (distinct random states per launch
 to defeat the axon repeat cache).
 
     PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/sweep_newton543.py
+
+Measured (TPU v5e, 2026-08-20, one process — cross-process comparisons carry
+20-60 ms launch-overhead variance):
+    default(add,a2cg,ap8,r60)    newton 220.6 ms  iters 21
+    ap-vcycle4                   newton 255.5 ms  iters 21
+    ap-vcycle2                   newton 293.2 ms  iters 33
+    both-vcycle,a1,ap2           newton 371.4 ms  iters 34-35
+    r30                          newton 209.8 ms  iters 19-21
+    ap-vcycle2,r30               newton 410.3 ms  iters 36-39
+    ap-vcycle4,r30               newton 264.0 ms  iters 21
+Conclusions: the restart window is the one free lever (CGS2 streams the full
+[restart+1, n] buffer every iteration, so r30 saves ~5% at unchanged
+convergence); the V(1,1) compositions LOSE at this size — each apply's two
+extra bf16 block matvecs cost more than the outer iterations they save
+(vcycle4 holds 21 iters but adds 35 ms; shorter sweeps degrade iterations
+outright).  Defaults stay additive/r60: the restarted window must still
+cover the 3D leg's ~40-iteration solves and the production examples' longer
+weakly-pinned solves, where a short window forces extra restart cycles.
 """
 
 import os
