@@ -37,6 +37,12 @@ class KrylovConfig:
     rel_tol: float = 1e-2  # cpp:566: 1e-2 * ||rhs||
     # (see NewtonConfig.min_iters for the anti-freeze companion knob)
     max_iters: int = 2000  # practical cap (reference allows 100000, cpp:566)
+    # FGMRES restart window.  Since the fill-aware CGS2 (la/gmres.py) the
+    # window size no longer taxes per-iteration cost — orthogonalization
+    # streams only the FILLED tiles of V — so 60 keeps the long-window
+    # robustness (3D ~40-iteration solves, weakly-pinned channels) for free
+    # (measured r30 186.0 ms vs r60 187.5 ms at the 543k bench leg,
+    # scripts/sweep_r5.py; the r4 fixed-window form paid ~5% for r60)
     restart: int = 60
     preconditioner: str = "identity"  # cpp:570 | "block_diagonal" |
     # "block_triangular" | "cahouet_chabard" (windowed path only; our
@@ -45,8 +51,23 @@ class KrylovConfig:
     # Pallas two-level one-hot kernel (ops/windowed.py; requires blocked
     # dof renumbering, done automatically; ~4-5x faster per matvec on TPU)
     matvec: str = "flat"
-    cells_per_block: int = 512  # windowed-layout block size
-    chunk_cells: int = 128  # windowed-kernel lane-chunk size Bc (multiple of 128)
+    # windowed-layout block size.  Together with chunk_cells this sets the
+    # padded cell count (Bmax = max block occupancy rounded up to Bc): 448
+    # lands the 543k bench mesh at Bmax=512 with pad 1.16 and 2 chunks/block
+    # (vs 1.50 and 3 at the old 512 default) — measured 151 ms vs 202 ms per
+    # forced Newton step, scripts/sweep_r5.py round 5; 320 (more blocks) and
+    # 640+ (bigger windows) both lose.  The solver's setup retry-doubles this
+    # until the halo fits, so wide-bandwidth 3D meshes self-adjust upward.
+    cells_per_block: int = 448
+    # windowed-kernel lane-chunk size Bc (multiple of 128).  The kernel is
+    # grid-step-overhead-bound at Bc=128 (per-step one-hot construction +
+    # DMA latencies dominate the tiny dots), so wider chunks amortize the
+    # fixed costs into bigger MXU contractions.  Measured on TPU v5e at the
+    # 543k bench leg (whole forced Newton steps, scripts/sweep_r5.py):
+    # Bc=256 cuts the step 217 -> 196 ms at unchanged iteration counts and
+    # unchanged subwindow rows (RVv stays 24); Bc=512 gives most of that
+    # (203 ms) with higher VMEM pressure.  256 is the default.
+    chunk_cells: int = 256
     # bf16 value-split terms in the windowed Krylov operator: 3 = f32-exact,
     # 2 ~ 2e-5 relative (ample for the rel_tol 1e-2 tangent solves), 1 = bf16.
     # Assembly gathers/scatters always use the exact 3-term split.
@@ -94,13 +115,21 @@ class KrylovConfig:
     inner_max_iters: int = 2000  # hpp:598
     # cahouet_chabard inner sweep lengths (fixed-iteration coarse-corrected
     # Jacobi-CG on the velocity block and on the pressure-Laplacian Schur
-    # term).  On-TPU sweep (tangent at a random 0.05-normal state, outer
-    # FGMRES to rel_tol 1e-2): ap=8 vs ap=4 cuts outer iterations 24->16 at
-    # 543k DoF and 48->45 at 1.78M DoF and wins on wall time at both sizes
-    # (each extra Kp-CG iteration costs ~0.4 ms; one saved outer iteration
-    # ~6 ms).  a00=3 adds nothing over a00=2 at ap>=6; coarser aggregates
-    # (64) DEGRADE (211 outer iterations at 1.78M).
-    cc_iters_a00: int = 2
+    # term).  Round-5 on-TPU sweep at the 543k bench leg (whole forced
+    # Newton steps, scripts/sweep_r5.py, Bc=256 + fill-aware CGS2):
+    #   a00=2, ap=8  -> 202 ms / 21 outer iterations  (round-4 default)
+    #   a00=3, ap=8  -> 172 ms / 16-18
+    #   a00=4, ap=8  -> 168 ms / 14-16   <- default
+    #   a00=4, ap=6  -> 169 ms / 16-17
+    #   a00=1 or ap<6 degrade the outer count outright (29+ / 22+).
+    # The longer A00 sweep pays for itself because each extra inner CG
+    # iteration costs ~0.6 ms while a saved outer iteration saves ~8 ms
+    # (CC apply + outer matvec + orthogonalization).  Earlier rounds'
+    # "a00=3 adds nothing over a00=2" was measured WITHOUT the velocity
+    # coarse space at Bc=128; with cc_coarse_agg_v the stronger sweep
+    # translates into outer-count wins at every probed size.  Coarser
+    # aggregates (64) still DEGRADE (211 outer iterations at 1.78M).
+    cc_iters_a00: int = 4
     cc_iters_ap: int = 8
     # inner-sweep preconditioner composition (when the matching coarse space
     # is built): "additive" = D^-1 + Z Kc^-1 Zt (no extra matvecs);

@@ -311,34 +311,69 @@ def renumber_bandwidth(dofs: TaylorHoodDofs) -> tuple[TaylorHoodDofs, np.ndarray
     return out, cell_order.astype(np.int64)
 
 
+def _morton_cell_order(mesh) -> np.ndarray:
+    """Cell ordering along a Morton (Z-order) space-filling curve of cell
+    centroids: consecutive cells are spatially adjacent, so contiguous cell
+    blocks get compact dof footprints.  Unlike RCM — whose level sets on
+    refined 3D meshes can sweep entire cross-sections and blow the windowed
+    halo to 5 blocks with 360-row subwindows (the round-4 step-5 compile
+    blocker) — the curve's locality is dimension-robust."""
+    cent = mesh.coords[mesh.cells[:, : mesh.dim + 1]].mean(axis=1)
+    lo, hi = cent.min(axis=0), cent.max(axis=0)
+    bits = 63 // cent.shape[1]
+    q = ((cent - lo) / np.where(hi > lo, hi - lo, 1.0) * ((1 << bits) - 1)).astype(
+        np.uint64
+    )
+
+    def spread(x, d):
+        # interleave: insert (d-1) zero bits between the bits of x
+        out = np.zeros_like(x)
+        for b in range(bits):
+            out |= ((x >> np.uint64(b)) & np.uint64(1)) << np.uint64(b * d)
+        return out
+
+    d = cent.shape[1]
+    key = np.zeros(len(cent), dtype=np.uint64)
+    for a in range(d):
+        key |= spread(q[:, a], d) << np.uint64(a)
+    return np.argsort(key, kind="stable")
+
+
 def renumber_blocked(
-    dofs: TaylorHoodDofs, cells_per_block: int = 512, nb_multiple: int = 1
+    dofs: TaylorHoodDofs, cells_per_block: int = 512, nb_multiple: int = 1,
+    order: str = "rcm",
 ) -> tuple[TaylorHoodDofs, dict]:
     """Block-padded locality renumbering for the windowed TPU kernels.
 
-    One shared block structure drives BOTH spaces: cells are RCM-ordered and
-    cut into nb contiguous blocks; each scalar DoF is OWNED by the block of
-    its first-touch cell and numbered ``block * OW + rank`` where OW is the
-    128-rounded max per-block count.  The global vector therefore contains
-    padding HOLES (dofs that no cell references); they are benign — assembly
-    never writes them, so they stay identically zero through every solver
-    operation.  Velocity and pressure block indices are aligned by
+    One shared block structure drives BOTH spaces: cells are ordered for
+    locality (``order``: "rcm" = bandwidth-minimizing Reverse-Cuthill-McKee
+    on the vertex-dof graph; "sfc" = Morton curve on cell centroids — the
+    dimension-robust choice for refined 3D meshes, see ``_morton_cell_order``)
+    and cut into nb contiguous blocks; each scalar DoF is OWNED by the block
+    of its first-touch cell and numbered ``block * OW + rank`` where OW is
+    the 128-rounded max per-block count.  The global vector therefore
+    contains padding HOLES (dofs that no cell references); they are benign —
+    assembly never writes them, so they stay identically zero through every
+    solver operation.  Velocity and pressure block indices are aligned by
     construction (same cell blocks), which keeps windowed halos at h ~ 1.
 
     Returns (renumbered dofs with padded n_vs/n_ps, {"nb", "OWv", "OWp"}).
     """
-    import scipy.sparse as sp
-    from scipy.sparse.csgraph import reverse_cuthill_mckee
-
     cv = dofs.cell_vdofs.astype(np.int64)
     nc, nb_v = cv.shape
-    i = np.repeat(cv, nb_v, axis=1).ravel()
-    j = np.tile(cv, (1, nb_v)).ravel()
-    adj = sp.coo_matrix((np.ones(len(i), np.int8), (i, j)), shape=(dofs.n_vs, dofs.n_vs)).tocsr()
-    order = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True), dtype=np.int64)
-    rcm_perm = np.empty(dofs.n_vs, dtype=np.int64)
-    rcm_perm[order] = np.arange(dofs.n_vs)
-    cell_order = np.argsort(rcm_perm[cv].min(axis=1), kind="stable")
+    if order == "sfc":
+        cell_order = _morton_cell_order(dofs.mesh)
+    else:
+        import scipy.sparse as sp
+        from scipy.sparse.csgraph import reverse_cuthill_mckee
+
+        i = np.repeat(cv, nb_v, axis=1).ravel()
+        j = np.tile(cv, (1, nb_v)).ravel()
+        adj = sp.coo_matrix((np.ones(len(i), np.int8), (i, j)), shape=(dofs.n_vs, dofs.n_vs)).tocsr()
+        rcm = np.asarray(reverse_cuthill_mckee(adj, symmetric_mode=True), dtype=np.int64)
+        rcm_perm = np.empty(dofs.n_vs, dtype=np.int64)
+        rcm_perm[rcm] = np.arange(dofs.n_vs)
+        cell_order = np.argsort(rcm_perm[cv].min(axis=1), kind="stable")
 
     nb = max(1, -(-nc // cells_per_block))
     # SPMD: whole blocks are assigned to devices in contiguous runs, so nb

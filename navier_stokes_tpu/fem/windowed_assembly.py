@@ -432,9 +432,12 @@ def build_windowed_assembly(ctx, lay: WindowedLayout, dofs, *, dt, nu, rho, p_ou
         sl = slice(lo, min(lo + CHUNK, ncd))
         Gp = np.einsum("cda,bqa->bqdc", invJT[sl], G_v, optimize=True)
         Wc = W_t[:, sl]
-        M_c = np.einsum("ijq,qc->ijc", NN, Wc, optimize=True)
         K_c = np.einsum("iqbc,jqbc,qc->ijc", Gp, Gp, Wc, optimize=True)
-        diag_blk[:, :, sl] = mass_coef * M_c + (nu * rho) * K_c
+        if mass_coef:
+            M_c = np.einsum("ijq,qc->ijc", NN, Wc, optimize=True)
+            diag_blk[:, :, sl] = mass_coef * M_c + (nu * rho) * K_c
+        else:  # steady/Stokes path: skip the zero-coefficient mass chunk
+            diag_blk[:, :, sl] = (nu * rho) * K_c
         D[:, :, :, sl] = np.einsum("iqac,jq,qc->ajic", Gp, N_p, Wc,
                                    optimize=True)
         Gpp = np.einsum("cda,bqa->bqdc", invJT[sl], G_p, optimize=True)

