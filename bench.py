@@ -159,6 +159,10 @@ def main():
         cfg.krylov.cc_iters_ap = int(os.environ["BENCH_CC_AP"])
     if os.environ.get("BENCH_A00_SOLVER"):
         cfg.krylov.a00_solver = os.environ["BENCH_A00_SOLVER"]
+    if os.environ.get("BENCH_CPB"):
+        cfg.krylov.cells_per_block = int(os.environ["BENCH_CPB"])
+    if os.environ.get("BENCH_BC"):
+        cfg.krylov.chunk_cells = int(os.environ["BENCH_BC"])
 
     solver = NavierStokesSolver(mesh, cfg, log=RunLog(verbose=False))
     solver.setup()
@@ -357,9 +361,27 @@ def main():
         "n_cells": mesh.n_cells,
         "dtype": DTYPE,
         "preconditioner": PRECOND,
+        # knob provenance so the artifact can't silently diverge from the
+        # configuration that produced it (VERDICT r4 #8)
+        "knobs": {
+            "restart": cfg.krylov.restart,
+            "cells_per_block": cfg.krylov.cells_per_block,
+            "chunk_cells": cfg.krylov.chunk_cells,
+            "cc_iters_a00": cfg.krylov.cc_iters_a00,
+            "cc_iters_ap": cfg.krylov.cc_iters_ap,
+        },
         "assembly_ms": round(t_assembly * 1e3, 3),
         "matvec_ms": None if t_mv is None else round(t_mv * 1e3, 3),
         "matvec_bf16_ms": None if t_mv16 is None else round(t_mv16 * 1e3, 3),
+        # fraction of the HBM stream roofline the f32 matvec achieves: the
+        # mandatory traffic is one A_t stream + the x windows and y
+        # accumulators (v5e HBM ~819 GB/s); <1 means per-grid-step fixed
+        # costs (one-hot construction, DMA latency), not bandwidth
+        "matvec_roofline_frac": (
+            None if t_mv is None else round(
+                ((A_t.nbytes + 8 * n * 4) / 819e9) / t_mv, 3
+            )
+        ),
         "newton_step_ms": round(t_newton * 1e3, 3),
         "newton_step_ms_all": [round(t * 1e3, 1) for t in t_newtons],
         "gmres_iters_first_step": gmres_iters,
@@ -510,13 +532,19 @@ def main():
                 m3_base = box(8, 8, 8)
                 tags = [0, 1, 2, 3, 4, 5]
             r3d = int(os.environ.get("BENCH_3D_REFINE", "2"))
+            # cc_iters_a00=6 for the tet legs: the 3D sweep
+            # (scripts/sweep_3d.py, step-3 refine=2) measured 23-24 outer
+            # iterations vs 26 at the a00=4 default — the h-robustness
+            # target — at +10% step time (1562 vs 1411 ms; both far below
+            # round 4's 2381 ms / 40 iterations)
             cfg3 = _dc.replace(
                 cfg_leg,
                 inlet_tags=(tags[0],),
                 neumann_tags=tuple(tags[1:2]),
                 wall_tags=tuple(tags[2:]),
                 krylov=_dc.replace(
-                    cfg_leg.krylov, tangent_store_dtype="bfloat16"
+                    cfg_leg.krylov, tangent_store_dtype="bfloat16",
+                    cc_iters_a00=int(os.environ.get("BENCH_CC_A00_3D", "6")),
                 ),
             )
             newton_leg(

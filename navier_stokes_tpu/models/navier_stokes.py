@@ -44,7 +44,13 @@ __all__ = ["NavierStokesSolver"]
 def _takes_time(forcing) -> bool:
     """True if the forcing callable is f(x, t) (time-dependent) rather than
     f(x).  Bound __call__ signatures exclude self, so dataclass functions
-    like ZeroForcing count their real positional params."""
+    like ZeroForcing count their real positional params.
+
+    Callables whose signature cannot be inspected or is ambiguous (builtins,
+    ``*args``) raise instead of silently guessing — pass
+    ``forcing_time_dependent=`` explicitly for those (a wrong silent guess
+    would freeze a time-dependent forcing at t=0, ADVICE r3/minor r4).
+    """
     import inspect
 
     try:
@@ -55,14 +61,24 @@ def _takes_time(forcing) -> bool:
             sig = inspect.signature(forcing)
         except (TypeError, ValueError):
             sig = inspect.signature(forcing.__call__)
-        params = [
-            p
-            for p in sig.parameters.values()
-            if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
-        ]
-        return len(params) >= 2
-    except (TypeError, ValueError, AttributeError):
-        return False
+    except (TypeError, ValueError, AttributeError) as e:
+        raise TypeError(
+            f"cannot infer whether forcing {forcing!r} takes a time "
+            "argument (uninspectable signature); pass "
+            "forcing_time_dependent=True/False explicitly"
+        ) from e
+    params = list(sig.parameters.values())
+    if any(p.kind == p.VAR_POSITIONAL for p in params):
+        raise TypeError(
+            f"forcing {forcing!r} has a *args signature — ambiguous arity; "
+            "pass forcing_time_dependent=True/False explicitly"
+        )
+    positional = [
+        p
+        for p in params
+        if p.kind in (p.POSITIONAL_ONLY, p.POSITIONAL_OR_KEYWORD)
+    ]
+    return len(positional) >= 2
 
 
 class NavierStokesSolver:

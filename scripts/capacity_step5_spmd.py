@@ -131,6 +131,31 @@ def main():
     with open(out_path, "w") as f:
         json.dump(res, f, indent=1)
 
+    # Optional: prove the PRODUCTION LOOP SHAPE composes at this scale
+    # (VERDICT r4 #8) — a scanned multi-step time loop (device-resident
+    # lax.scan over steps, per-step Dirichlet schedule shipped once) on the
+    # same 8-device sharding, not just a single forced Newton step.
+    scan_steps = int(os.environ.get("CAP_SCAN_STEPS", "0"))
+    if scan_steps:
+        s.solution = jnp.zeros_like(s.solution)
+        s.solution_old = jnp.zeros_like(s.solution)
+        s.time, s._step = 0.0, 0
+        s.cfg.T = scan_steps * s.cfg.dt + 1e-9
+        t0 = time.time()
+        hist = s.solve_scanned(chunk=scan_steps, newton_iters=2)
+        jax.block_until_ready(hist["residual"])
+        res["scanned_loop"] = {
+            "steps": scan_steps,
+            "newton_iters_per_step": 2,
+            "wall_s_cpu": round(time.time() - t0, 1),
+            "residuals": [float(r) for r in np.asarray(hist["residual"])],
+            "gmres_iters": [int(i) for i in np.asarray(hist["gmres_iters"])],
+            "finite": bool(jnp.all(jnp.isfinite(s.solution))),
+        }
+        print(json.dumps({"scanned_loop": res["scanned_loop"]}), flush=True)
+        with open(out_path, "w") as f:
+            json.dump(res, f, indent=1)
+
 
 if __name__ == "__main__":
     main()

@@ -160,9 +160,15 @@ def main():
         v[:, 0] = 1.5 * u_mean * 4.0 * y * (H - y) / H**2
         return v
 
-    # coarse side: restore the developed refine-1 state
+    # coarse side: restore the developed refine-1 state.  The archived
+    # refine-1 checkpoints were written before the round-5 layout defaults
+    # changed (cells_per_block 512->448, chunk_cells 128->256); the restore
+    # path validates the layout bit-for-bit, so pin the coarse solver to the
+    # checkpoint-era knobs (it only restores + prolongs — never solves).
     mesh_c = load_dfg_mesh(1)
     cfg_c = make_cfg(1, 8.0, 0.0025, nu)
+    cfg_c.krylov.cells_per_block = 512
+    cfg_c.krylov.chunk_cells = 128
     sc = ns.NavierStokesSolver(mesh_c, cfg_c, log=ns.RunLog(verbose=False), inlet=inflow)
     sc.setup()
     sc.restore_checkpoint(ckpt)
