@@ -506,9 +506,18 @@ def main():
         # worker's usable HBM at this size (measured), the bf16 one runs
         # (2.45 s / 13 outer iterations on TPU v5e).  Needs its own compile
         # (~2-4 min at this size): reserve a larger minimum budget slice.
+        # cpb=512 / Bc=128 pinned for this leg: the round-5 default shapes
+        # (448/256) crash the remote TPU compile helper at THIS scale only
+        # (HTTP 500, subprocess exit 1 — reproduced solo; 543k/1.84M/3D all
+        # compile).  The round-4-proven shapes compile and run: 2.50 s / 11
+        # outer iterations with the round-5 solver defaults.
         cfg_huge = _dc.replace(
             cfg_leg,
-            krylov=_dc.replace(cfg_leg.krylov, tangent_store_dtype="bfloat16"),
+            krylov=_dc.replace(
+                cfg_leg.krylov, tangent_store_dtype="bfloat16",
+                cells_per_block=int(os.environ.get("BENCH_CPB_HUGE", "512")),
+                chunk_cells=int(os.environ.get("BENCH_BC_HUGE", "128")),
+            ),
         )
         newton_leg(
             "huge", lambda: refine_uniform(big_base, 3), cfg_huge,
@@ -552,22 +561,35 @@ def main():
                 3, m3_base.n_cells * 8**r3d, min_budget_s=240,
             )
             # stretch leg, DEFAULT OFF: the 3.75M-DoF step-5 mesh (858k
-            # tets).  Its former blocker — the memory model — is fixed (the
-            # bf16-store assembly fits), but this mesh's refined numbering
-            # is not local enough for the windowed kernel: the layout comes
-            # out at halo 5 with 360-row subwindows (vs 2-3 and ~32
-            # elsewhere), which exceeds the kernel's compile-time window
-            # limits.  Kept as an opt-in probe for future ordering work.
+            # tets).  Round 5 removed the round-4 COMPILE blocker (the
+            # kernels now row-tile the 360-row subwindows, ops/windowed.py
+            # _ROW_TILE), so the leg compiles; what remains is MEMORY: the
+            # midpoint home-block assignment leaves this mesh's block
+            # occupancy ~1.5x imbalanced (Bmax rounds the max count up to
+            # Bc), and at pad 1.5 the bf16 tangent + precond slices +
+            # assembly transients estimate ~12.3 GB against the worker's
+            # ~12 GB usable HBM — the skip gate records exactly this.
+            # Next lever: per-block occupancy balancing (spill overflow
+            # cells to adjacent blocks inside the halo) to bring pad toward
+            # 1.1, worth ~2.5 GB here.  The 8-device capacity artifact
+            # covers this problem class meanwhile (capacity_step5_spmd).
             xl_name = os.environ.get("BENCH_3DXL_MESH", "mesh-step-5.msh")
             xl_path = f"/root/reference/mesh/{xl_name}"
             if os.environ.get("BENCH_3DXL", "0") != "0" and os.path.exists(xl_path):
                 mxl_base = read_msh(xl_path)
                 xtags = list(mxl_base.tags)
+                # restart 40 for the 3.75M-DoF leg: frees ~0.6 GB of Krylov
+                # basis vs 60 (fill-aware CGS2 makes the shorter window cost-
+                # neutral; 3D solves run 23-33 iterations, within one cycle)
                 cfgxl = _dc.replace(
                     cfg3,
                     inlet_tags=(xtags[0],),
                     neumann_tags=tuple(xtags[1:2]),
                     wall_tags=tuple(xtags[2:]),
+                    krylov=_dc.replace(
+                        cfg3.krylov,
+                        restart=int(os.environ.get("BENCH_RESTART_3DXL", "40")),
+                    ),
                 )
                 newton_leg(
                     "3dxl", lambda: refine_uniform(mxl_base, r3d), cfgxl,

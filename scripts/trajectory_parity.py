@@ -178,6 +178,15 @@ def compare(f64_path: str, f32_path: str, out_path: str):
     # measured 2.6e-5 * scale on this problem; bound with 4x margin
     floor32 = 1e-4 * scale
     rows, worst_dyn, n_dyn, floor_ok = [], 0.0, 0, True
+    # ENTRY rows (iter 0): each step's entering residual integrates the
+    # FULL history of prior steps' f32 solves — the trajectory-level parity
+    # signal, digit-comparable because the entering state is converged to
+    # the Newton tol in both precisions.  POST-UPDATE rows (iter >= 1) are
+    # bounded by the f32 tangent-solve forward error instead: the iterate
+    # differs by ~rel_tol * kappa between precisions, so a residual of
+    # magnitude ||r(u_k)|| carries an irreducible relative uncertainty
+    # ~ rel_tol_32 * ||r_entry|| / ||r(u_k)|| — tracked separately.
+    worst_entry, n_entry = 0.0, 0
     for i in range(n):
         ra, rb = ta[i], tb[i]
         assert (ra["step"], ra["iter"]) == (rb["step"], rb["iter"]), (
@@ -187,12 +196,16 @@ def compare(f64_path: str, f32_path: str, out_path: str):
         dynamic = ra["residual"] > floor32
         rows.append({**ra, "residual_f32": rb["residual"], "rel_diff": rel,
                      "dynamic": dynamic})
+        if ra["iter"] == 0:
+            worst_entry = max(worst_entry, rel)
+            n_entry += 1
         if dynamic:
             worst_dyn = max(worst_dyn, rel)
             n_dyn += 1
         else:
             floor_ok &= rb["residual"] < floor32
     digits = -np.log10(worst_dyn) if worst_dyn > 0 else 16.0
+    digits_entry = -np.log10(worst_entry) if worst_entry > 0 else 16.0
     inlet_mode = a.get("inlet", "frozen")
     if inlet_mode == "dynamic":
         descr = (
@@ -235,13 +248,25 @@ def compare(f64_path: str, f32_path: str, out_path: str):
         "floor_rows_within_bound": bool(floor_ok),
         "max_rel_diff_dynamic": worst_dyn,
         "agreement_digits_dynamic": round(float(digits), 2),
+        "entry_rows": n_entry,
+        "max_rel_diff_entry": worst_entry,
+        "agreement_digits_entry": round(float(digits_entry), 2),
+        "entry_row_note": (
+            "entry (iter-0) rows are the trajectory-level parity signal: "
+            "step n's entering residual integrates n-1 accumulated steps "
+            "of time integration + Newton solves in each precision; "
+            "post-update rows carry the irreducible f32 tangent-solve "
+            "forward error ~ rel_tol_32 * ||r_entry|| / ||r_row||"
+        ),
         "rows": rows,
     }
     with open(out_path, "w") as f:
         json.dump(out, f, indent=1)
     print(
-        f"dynamic-row agreement: {digits:.2f} digits (max rel {worst_dyn:.3e} "
-        f"over {n_dyn} rows); {n - n_dyn} floor rows within bound: {floor_ok}"
+        f"entry-row agreement: {digits_entry:.2f} digits (max rel "
+        f"{worst_entry:.3e} over {n_entry} rows); all-dynamic-row "
+        f"agreement: {digits:.2f} digits over {n_dyn} rows; "
+        f"{n - n_dyn} floor rows within bound: {floor_ok}"
     )
 
 
