@@ -9,6 +9,16 @@ cost (bench: newton_ms / iters >> matvec_ms).
 Run on the real TPU after any production job exits (ONE client):
     PYTHONPATH=/root/repo:/root/.axon_site python -u scripts/profile_precond.py
 Env: PROF_REFINE (default 2), PROF_REPS (default 20), PROF_PLATFORM=cpu.
+
+Round-5 reading guide: the per-APPLY cost is not the optimization target —
+the per-NEWTON-STEP cost is.  The round-4 target "CC apply <= 2.2 ms" was
+superseded by the measured sweep-length tradeoff: lengthening the A00 sweep
+(cc_iters_a00 2 -> 4, +1.2 ms per apply) cuts the OUTER iteration count
+21 -> 14-16, so the 543k Newton step fell 281 -> 117 ms with a deliberately
+more expensive apply.  Compare applies only at equal outer counts
+(scripts/sweep_r5.py times whole forced Newton steps for exactly this
+reason).  Kernel-level apply costs did drop (chunk_cells 256: Kp_mv
+0.355 -> 0.175 ms, kp_cg(8) 2.5 -> 2.05 ms).
 """
 
 import os
